@@ -1,0 +1,35 @@
+"""2D pose models: HRNet (heatmap), RTMPose (SimCC), person detection."""
+
+from .hrnet import HRNet, HRNET_W32, HRNET_W48
+from .rtmpose import RTMPose, CSPNeXt, RTMPOSE_T, RTMPOSE_S, RTMPOSE_M
+from .detector import (
+    CenterNetDetector,
+    SinglePersonDetector,
+    full_frame_bboxes,
+)
+from .topdown import (
+    TopDownEstimator,
+    center_scale_from_bbox,
+    crop_frames,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
+
+__all__ = [
+    "HRNet",
+    "HRNET_W32",
+    "HRNET_W48",
+    "RTMPose",
+    "CSPNeXt",
+    "RTMPOSE_T",
+    "RTMPOSE_S",
+    "RTMPOSE_M",
+    "CenterNetDetector",
+    "SinglePersonDetector",
+    "full_frame_bboxes",
+    "TopDownEstimator",
+    "center_scale_from_bbox",
+    "crop_frames",
+    "IMAGENET_MEAN",
+    "IMAGENET_STD",
+]

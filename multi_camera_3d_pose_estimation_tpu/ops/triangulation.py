@@ -1,0 +1,153 @@
+"""Batched DLT triangulation — the core kernel of the framework.
+
+TPU-native replacement of the reference's per-point OpenCV path
+(`cv.undistortPoints` + 512-point-chunked `cv.triangulatePoints`,
+utils.py:1277-1336) and its scalar `DLT` spec (utils.py:19-34).  Here ALL
+frames × joints × view-pairs triangulate at once: the DLT system is a 4x4
+normal-equation matrix per point, solved by batched symmetric eigendecomp —
+no chunk limit, no Python loops.
+
+NaN semantics: any non-finite input coordinate for a selected view yields a
+NaN 3D point (the pipeline's missing-data mechanism, SURVEY.md §5); the
+eigensolver itself always sees finite matrices (masked rows).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import projection_matrix
+from .undistort import undistort_points
+
+__all__ = ["triangulate_dlt", "triangulate_points", "triangulate_top2"]
+
+
+def _dlt_system(pts_a, pts_b, P_a, P_b):
+    """Stack the 4 DLT rows per point: (..., 4, 4).
+
+    Rows (reference utils.py:21-25):
+      y_a*P_a[2] - P_a[1],  P_a[0] - x_a*P_a[2],
+      y_b*P_b[2] - P_b[1],  P_b[0] - x_b*P_b[2]
+    """
+    def rows(pts, P):
+        x = pts[..., 0:1]
+        y = pts[..., 1:2]
+        r0 = y * P[..., 2, :] - P[..., 1, :]
+        r1 = P[..., 0, :] - x * P[..., 2, :]
+        return jnp.stack([r0, r1], axis=-2)
+
+    return jnp.concatenate([rows(pts_a, P_a), rows(pts_b, P_b)], axis=-2)
+
+
+def triangulate_dlt(
+    pts_a: jax.Array,
+    pts_b: jax.Array,
+    P_a: jax.Array,
+    P_b: jax.Array,
+) -> jax.Array:
+    """Triangulate point pairs (..., 2) under projections (...-or-(3,4)).
+
+    Solves min ||A h|| s.t. ||h||=1 via eigh of AᵀA (the right-singular
+    vector of A for the smallest singular value — same solution as the
+    reference's SVD at utils.py:28-34 / cv.triangulatePoints), then
+    dehomogenizes.  Non-finite inputs produce NaN outputs.
+    """
+    pts_a = jnp.asarray(pts_a)
+    pts_b = jnp.asarray(pts_b)
+    P_a = jnp.asarray(P_a)
+    P_b = jnp.asarray(P_b)
+
+    bad = ~(
+        jnp.all(jnp.isfinite(pts_a), axis=-1) & jnp.all(jnp.isfinite(pts_b), axis=-1)
+    )
+    safe_a = jnp.where(bad[..., None], jnp.zeros_like(pts_a), pts_a)
+    safe_b = jnp.where(bad[..., None], jnp.zeros_like(pts_b), pts_b)
+
+    A = _dlt_system(safe_a, safe_b, P_a, P_b)  # (...,4,4)
+    # Row-normalize for conditioning (scale-invariant solution).
+    norm = jnp.linalg.norm(A, axis=-1, keepdims=True)
+    A = A / jnp.where(norm > 0, norm, jnp.ones_like(norm))
+    B = jnp.einsum("...ki,...kj->...ij", A, A)  # AᵀA, symmetric PSD (...,4,4)
+    # Degenerate/bad systems -> identity so eigh stays finite.
+    eye = jnp.eye(4, dtype=B.dtype)
+    B = jnp.where(bad[..., None, None], eye, B)
+    _, vecs = jnp.linalg.eigh(B)  # ascending eigenvalues
+    h = vecs[..., :, 0]  # (...,4) eigenvector of smallest eigenvalue
+    w = h[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
+    xyz = h[..., :3] / w[..., None]
+    return jnp.where(bad[..., None], jnp.full_like(xyz, jnp.nan), xyz)
+
+
+def triangulate_points(
+    kpts_2d: jax.Array,
+    cmtx1, dist1, R1, T1,
+    cmtx2, dist2, R2, T2,
+    n_undistort_iter: int = 10,
+) -> jax.Array:
+    """Reference-compatible two-view triangulation (utils.py:1277-1336).
+
+    ``kpts_2d``: (..., 2 views, 2 xy) pixel coordinates.  Each view is
+    undistorted (re-projected with its own camera matrix, matching the
+    reference's `cv.undistortPoints(..., P=cmtx)`), then DLT-triangulated
+    under P = K[R|T].  Returns (..., 3) world points — all points at once,
+    no 512-point chunking.
+    """
+    kpts_2d = jnp.asarray(kpts_2d)
+    u1 = undistort_points(kpts_2d[..., 0, :], cmtx1, dist1, P=jnp.asarray(cmtx1), n_iter=n_undistort_iter)
+    u2 = undistort_points(kpts_2d[..., 1, :], cmtx2, dist2, P=jnp.asarray(cmtx2), n_iter=n_undistort_iter)
+    P1 = projection_matrix(jnp.asarray(cmtx1), jnp.asarray(R1), jnp.asarray(T1))
+    P2 = projection_matrix(jnp.asarray(cmtx2), jnp.asarray(R2), jnp.asarray(T2))
+    return triangulate_dlt(u1, u2, P1, P2)
+
+
+def triangulate_top2(
+    kpts: jax.Array,
+    conf: jax.Array,
+    Ks: jax.Array,
+    dists: jax.Array,
+    Rs: jax.Array,
+    Ts: jax.Array,
+    n_undistort_iter: int = 10,
+) -> jax.Array:
+    """Confidence-gated best-two-view triangulation, fully batched.
+
+    The reference's T×17 Python loop with per-joint `np.argsort(conf)[-2:]`
+    (pose_estimation.py:30-53) becomes one gather + one batched DLT:
+
+    - ``kpts``: (..., n_cams, 2) pixel keypoints
+    - ``conf``: (..., n_cams) per-view confidences
+    - ``Ks``/(n_cams,3,3), ``dists``/(n_cams,5), ``Rs``/(n_cams,3,3),
+      ``Ts``/(n_cams,3): stacked per-camera parameters.
+
+    Selection uses a stable ascending argsort and takes the last two —
+    identical tie-breaking to np.argsort at pose_estimation.py:36.
+    Returns (..., 3).
+    """
+    kpts = jnp.asarray(kpts)
+    conf = jnp.asarray(conf)
+    n_cams = kpts.shape[-2]
+
+    # Undistort every view with its own intrinsics (vmap over cameras on the
+    # second-to-last axis), re-projected into pixel units with P=K.
+    def undo(cam_idx_pts, K, d):
+        return undistort_points(cam_idx_pts, K, d, P=K, n_iter=n_undistort_iter)
+
+    # Move camera axis to the front for vmap, then back.
+    kpts_cf = jnp.moveaxis(kpts, -2, 0)  # (n_cams, ..., 2)
+    und_cf = jax.vmap(undo, in_axes=(0, 0, 0))(kpts_cf, jnp.asarray(Ks), jnp.asarray(dists))
+    und = jnp.moveaxis(und_cf, 0, -2)  # (..., n_cams, 2)
+
+    Ps = projection_matrix(jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(Ts))  # (n_cams,3,4)
+
+    # NaN confidences must never win the top-2: treat as -inf.
+    conf_safe = jnp.where(jnp.isfinite(conf), conf, -jnp.inf)
+    order = jnp.argsort(conf_safe, axis=-1, stable=True)  # ascending
+    top2 = order[..., n_cams - 2 :]  # (..., 2): [second-best, best]
+
+    pts_a = jnp.take_along_axis(und, top2[..., 0:1, None], axis=-2)[..., 0, :]
+    pts_b = jnp.take_along_axis(und, top2[..., 1:2, None], axis=-2)[..., 0, :]
+    P_a = Ps[top2[..., 0]]  # (...,3,4)
+    P_b = Ps[top2[..., 1]]
+    return triangulate_dlt(pts_a, pts_b, P_a, P_b)

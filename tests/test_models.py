@@ -1,0 +1,149 @@
+"""Model shape/decode tests (CPU, tiny inputs — correctness not accuracy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_camera_3d_pose_estimation_tpu.models import (
+    HRNet,
+    HRNET_W32,
+    RTMPose,
+    RTMPOSE_T,
+    CenterNetDetector,
+    SinglePersonDetector,
+    TopDownEstimator,
+    center_scale_from_bbox,
+    crop_frames,
+    full_frame_bboxes,
+)
+
+
+SMALL_HRNET = {"widths": (8, 16, 32, 64), "modules": (1, 1, 1, 1), "stem": 16}
+SMALL_RTM = {"widen": 0.125, "deepen": 0.167, "embed": 32}
+
+
+@pytest.fixture(scope="module")
+def hrnet_small():
+    model = HRNet(num_joints=17, cfg=SMALL_HRNET, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+@pytest.fixture(scope="module")
+def rtmpose_small():
+    model = RTMPose(
+        num_joints=17, input_size=(32, 64), cfg=SMALL_RTM, dtype=jnp.float32
+    )
+    x = jnp.zeros((1, 64, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    return model, variables
+
+
+def test_hrnet_output_shape(hrnet_small):
+    model, variables = hrnet_small
+    x = jnp.ones((2, 64, 32, 3))
+    heat = model.apply(variables, x)
+    assert heat.shape == (2, 16, 8, 17)  # input/4, K channels
+    assert heat.dtype == jnp.float32
+    assert np.isfinite(np.asarray(heat)).all()
+
+
+def test_rtmpose_output_shape(rtmpose_small):
+    model, variables = rtmpose_small
+    x = jnp.ones((2, 64, 32, 3))
+    sx, sy = model.apply(variables, x)
+    assert sx.shape == (2, 17, 64)  # W * split_ratio
+    assert sy.shape == (2, 17, 128)  # H * split_ratio
+    assert np.isfinite(np.asarray(sx)).all()
+
+
+def test_center_scale_aspect():
+    bbox = jnp.asarray([[10.0, 20.0, 110.0, 70.0]])  # w=100, h=50
+    center, size = center_scale_from_bbox(bbox, aspect_ratio=0.75, padding=1.0)
+    np.testing.assert_allclose(np.asarray(center), [[60.0, 45.0]])
+    w, h = np.asarray(size)[0]
+    assert abs(w / h - 0.75) < 1e-6
+    assert w >= 100.0 and h >= 50.0
+
+
+def test_crop_roundtrip_identity():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(1, 32, 24, 3)).astype(np.float32)
+    center = jnp.asarray([[12.0, 16.0]])
+    size = jnp.asarray([[24.0, 32.0]])
+    crops, scale, offset = crop_frames(jnp.asarray(img), center, size, (32, 24))
+    np.testing.assert_allclose(np.asarray(crops), img, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(scale), [[1.0, 1.0]])
+    np.testing.assert_allclose(np.asarray(offset), [[0.0, 0.0]])
+
+
+def test_crop_zoom_transform():
+    # Crop the left-top quadrant: scale 2, offset 0.
+    rng = np.random.default_rng(1)
+    img = rng.uniform(size=(1, 16, 16, 3)).astype(np.float32)
+    crops, scale, offset = crop_frames(
+        jnp.asarray(img), jnp.asarray([[4.0, 4.0]]), jnp.asarray([[8.0, 8.0]]), (16, 16)
+    )
+    np.testing.assert_allclose(np.asarray(scale), [[2.0, 2.0]])
+    np.testing.assert_allclose(np.asarray(offset), [[0.0, 0.0]])
+    # crop pixel (2k+0.5ish) ≈ source pixel k scaled — just check center region
+    assert crops.shape == (1, 16, 16, 3)
+
+
+def test_topdown_estimator_heatmap_path(hrnet_small):
+    model, variables = hrnet_small
+    est = TopDownEstimator(model, variables, input_size=(32, 64), decode="heatmap")
+    frames = np.random.default_rng(2).uniform(size=(2, 120, 160, 3)).astype(np.float32)
+    out = est.predict_batch(frames)
+    kpts = np.asarray(out["keypoints"])
+    gauss = np.asarray(out["gaussians"])
+    assert kpts.shape == (2, 17, 3)
+    assert gauss.shape == (2, 17, 6)
+    # Keypoints land inside the (aspect-fitted, 1.25-padded) crop region:
+    # frame 160x120, crop w = 160*1.25 = 200, h = 200/(32/64) = 400.
+    assert (kpts[..., 0] >= -30).all() and (kpts[..., 0] <= 190).all()
+    assert (kpts[..., 1] >= -150).all() and (kpts[..., 1] <= 270).all()
+
+
+def test_topdown_estimator_simcc_path(rtmpose_small):
+    model, variables = rtmpose_small
+    est = TopDownEstimator(model, variables, input_size=(32, 64), decode="simcc")
+    frames = np.random.default_rng(3).uniform(size=(1, 100, 100, 3)).astype(np.float32)
+    out = est.predict_batch(frames)
+    assert np.asarray(out["keypoints"]).shape == (1, 17, 3)
+    assert np.asarray(out["gaussians"]).shape == (1, 17, 6)
+    # SimCC covariances are isotropic-diagonal (no xy term).
+    assert np.allclose(np.asarray(out["gaussians"])[..., 3], 0.0)
+
+
+def test_gaussian_pushforward_consistency(hrnet_small):
+    """Moments transformed analytically must track the keypoint transform."""
+    model, variables = hrnet_small
+    est = TopDownEstimator(model, variables, input_size=(32, 64), decode="heatmap")
+    frames = np.random.default_rng(4).uniform(size=(1, 200, 300, 3)).astype(np.float32)
+    bbox_a = np.asarray([[0.0, 0.0, 300.0, 200.0]], np.float32)
+    out = est.predict_batch(frames, bbox_a)
+    g = np.asarray(out["gaussians"])[0]
+    # Variances are non-negative and means inside the bbox neighbourhood.
+    assert (g[:, 2] >= 0).all() and (g[:, 5] >= 0).all()
+    assert (np.abs(g[:, 3] - g[:, 4]) < 1e-6).all()
+
+
+def test_detector_fallback_full_frame():
+    det = SinglePersonDetector()
+    frames = np.zeros((3, 40, 60, 3), np.float32)
+    boxes = np.asarray(det.detect(frames))
+    np.testing.assert_allclose(boxes, np.tile([0, 0, 60, 40], (3, 1)))
+
+
+def test_centernet_detector_shapes():
+    model = CenterNetDetector(width=8, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    det = SinglePersonDetector(model, variables, bbox_thr=-1.0)  # always trust
+    boxes = np.asarray(det.detect(np.zeros((2, 64, 64, 3), np.float32)))
+    assert boxes.shape == (2, 4)
+    assert (boxes[:, 2] >= boxes[:, 0]).all()
+    assert (boxes[:, 3] >= boxes[:, 1]).all()

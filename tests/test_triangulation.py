@@ -1,0 +1,147 @@
+"""Triangulation + undistortion vs synthetic known-3D oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multi_camera_3d_pose_estimation_tpu.ops import (
+    triangulate_dlt,
+    triangulate_points,
+    triangulate_top2,
+    undistort_points,
+    projection_matrix,
+)
+from tests.conftest import project_np
+
+
+def scalar_dlt(P1, P2, p1, p2):
+    """Float64 scalar oracle (spec: reference utils.py:19-34)."""
+    A = np.array(
+        [
+            p1[1] * P1[2] - P1[1],
+            P1[0] - p1[0] * P1[2],
+            p2[1] * P2[2] - P2[1],
+            P2[0] - p2[0] * P2[2],
+        ]
+    )
+    _, _, Vh = np.linalg.svd(A.T @ A)
+    return Vh[3, :3] / Vh[3, 3]
+
+
+def test_undistort_inverts_distortion(camera_pair):
+    c = camera_pair
+    px = project_np(c["pts3d"], c["K2"], c["R2"], c["T2"], c["d2"])
+    und = np.array(undistort_points(px, c["K2"], c["d2"], P=c["K2"], n_iter=20))
+    ideal = project_np(c["pts3d"], c["K2"], c["R2"], c["T2"], None)
+    np.testing.assert_allclose(und, ideal, atol=1e-5)
+
+
+def test_undistort_zero_dist_identity(camera_pair):
+    c = camera_pair
+    px = project_np(c["pts3d"], c["K1"], c["R1"], c["T1"], None)
+    und = np.array(undistort_points(px, c["K1"], np.zeros(5), P=c["K1"]))
+    np.testing.assert_allclose(und, px, atol=1e-9)
+
+
+def test_triangulate_dlt_matches_scalar_oracle(camera_pair):
+    c = camera_pair
+    P1 = np.array(projection_matrix(c["K1"], c["R1"], c["T1"]))
+    P2 = np.array(projection_matrix(c["K2"], c["R2"], c["T2"]))
+    p1 = project_np(c["pts3d"], c["K1"], c["R1"], c["T1"], None)
+    p2 = project_np(c["pts3d"], c["K2"], c["R2"], c["T2"], None)
+
+    got = np.array(triangulate_dlt(p1, p2, P1, P2))
+    oracle = np.array([scalar_dlt(P1, P2, a, b) for a, b in zip(p1, p2)])
+    np.testing.assert_allclose(got, oracle, atol=1e-6)
+    # And both must recover the true 3D points.
+    np.testing.assert_allclose(got, c["pts3d"], atol=1e-5)
+
+
+def test_triangulate_points_with_distortion(camera_pair):
+    """Full reference-compatible path: distorted pixels in, 3D out."""
+    c = camera_pair
+    p1 = project_np(c["pts3d"], c["K1"], c["R1"], c["T1"], c["d1"])
+    p2 = project_np(c["pts3d"], c["K2"], c["R2"], c["T2"], c["d2"])
+    kpts = np.stack([p1, p2], axis=1)  # (N, 2 views, 2)
+
+    got = np.array(
+        triangulate_points(
+            kpts, c["K1"], c["d1"], c["R1"], c["T1"], c["K2"], c["d2"], c["R2"], c["T2"],
+            n_undistort_iter=25,
+        )
+    )
+    # Sub-0.01mm at this synthetic scale — well inside the <1mm MPJPE budget.
+    np.testing.assert_allclose(got, c["pts3d"], atol=1e-2)
+
+
+def test_triangulate_nan_passthrough(camera_pair):
+    c = camera_pair
+    p1 = project_np(c["pts3d"], c["K1"], c["R1"], c["T1"], None)
+    p2 = project_np(c["pts3d"], c["K2"], c["R2"], c["T2"], None)
+    p1[3] = np.nan
+    p2[7, 0] = np.nan
+    P1 = np.array(projection_matrix(c["K1"], c["R1"], c["T1"]))
+    P2 = np.array(projection_matrix(c["K2"], c["R2"], c["T2"]))
+    got = np.array(triangulate_dlt(p1, p2, P1, P2))
+    assert np.all(np.isnan(got[3]))
+    assert np.all(np.isnan(got[7]))
+    assert np.all(np.isfinite(np.delete(got, [3, 7], axis=0)))
+
+
+def test_triangulate_batched_leading_dims(camera_pair):
+    c = camera_pair
+    p1 = project_np(c["pts3d"], c["K1"], c["R1"], c["T1"], None).reshape(5, 12, 2)
+    p2 = project_np(c["pts3d"], c["K2"], c["R2"], c["T2"], None).reshape(5, 12, 2)
+    kpts = np.stack([p1, p2], axis=-2)  # (5,12,2 views,2)
+    got = np.array(
+        triangulate_points(
+            kpts, c["K1"], np.zeros(5), c["R1"], c["T1"], c["K2"], np.zeros(5), c["R2"], c["T2"]
+        )
+    )
+    assert got.shape == (5, 12, 3)
+    np.testing.assert_allclose(got, c["pts3d"].reshape(5, 12, 3), atol=1e-5)
+
+
+def test_triangulate_top2_selects_best_views(camera_pair, rng):
+    """4 cameras; the two noisy-confidence losers must be excluded."""
+    c = camera_pair
+    # Build 4 cameras: the two real ones + two rotated copies.
+    th = np.deg2rad(-20.0)
+    R3 = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]])
+    T3 = np.array([90.0, -10.0, 30.0])
+    R4 = np.eye(3)
+    T4 = np.array([0.0, 80.0, 10.0])
+    Ks = np.stack([c["K1"], c["K2"], c["K1"], c["K2"]])
+    dists = np.zeros((4, 5))
+    Rs = np.stack([c["R1"], c["R2"], R3, R4])
+    Ts = np.stack([c["T1"], c["T2"], T3, T4])
+
+    pts3d = c["pts3d"][:20]
+    pix = np.stack(
+        [project_np(pts3d, Ks[i], Rs[i], Ts[i], None) for i in range(4)], axis=1
+    )  # (N, 4, 2)
+    # Corrupt cameras 2,3 *pixels* badly, but give them low confidence.
+    pix_bad = pix.copy()
+    pix_bad[:, 2] += 500.0
+    pix_bad[:, 3] -= 300.0
+    conf = np.tile(np.array([0.9, 0.8, 0.1, 0.2]), (20, 1))
+
+    got = np.array(triangulate_top2(pix_bad, conf, Ks, dists, Rs, Ts))
+    np.testing.assert_allclose(got, pts3d, atol=1e-4)
+
+
+def test_triangulate_top2_jit_and_tie_stability(camera_pair):
+    c = camera_pair
+    pts3d = c["pts3d"][:8]
+    Ks = np.stack([c["K1"], c["K2"]])
+    dists = np.stack([c["d1"], c["d2"]])
+    Rs = np.stack([c["R1"], c["R2"]])
+    Ts = np.stack([c["T1"], c["T2"]])
+    pix = np.stack(
+        [project_np(pts3d, Ks[i], Rs[i], Ts[i], dists[i]) for i in range(2)], axis=1
+    )
+    conf = np.full((8, 2), 0.5)  # ties: stable sort keeps order [0,1]
+
+    fn = jax.jit(lambda k, cf: triangulate_top2(k, cf, Ks, dists, Rs, Ts, n_undistort_iter=25))
+    got = np.array(fn(pix, conf))
+    np.testing.assert_allclose(got, pts3d, atol=1e-2)
