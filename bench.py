@@ -1,0 +1,70 @@
+"""Headline benchmark: 2-camera HRNet-W32 2D inference + triangulation.
+
+BASELINE config 2 / the north-star metric (BASELINE.json): frames/sec/chip
+for the full post-decode pipeline — top-down crop → HRNet-W32 forward →
+fused heatmap decode (argmax+subpixel AND Gaussian moments) → top-2 DLT
+triangulation — as ONE jitted program on whatever `jax.devices()[0]` is
+(the driver runs this on a real TPU chip; it also runs on CPU, slowly).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+`vs_baseline` is value / 1000 (the ≥1000 fps/chip north-star target —
+the reference publishes no numbers, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_pipeline
+    from multi_camera_3d_pose_estimation_tpu.models import HRNET_W32
+
+    T, C, H, W = 16, 2, 256, 256  # 16 frames x 2 cameras per step
+    frames_shape = (T, C, H, W, 3)
+    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.uniform(size=frames_shape), jnp.float32)
+    bboxes = jnp.tile(
+        jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1)
+    )
+    variables = pipe.estimator.variables
+
+    def step(variables, frames, bboxes):
+        return pipe._run(variables, frames, bboxes, pipe.cam_stack)
+
+    # Warmup / compile.
+    out = step(variables, frames, bboxes)
+    jax.block_until_ready(out["kpts_3d"])
+
+    # Timed steady state.
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = step(variables, frames, bboxes)
+    jax.block_until_ready(out["kpts_3d"])
+    dt = time.perf_counter() - t0
+
+    fps = (T * n_iters) / dt  # multi-camera frames (2 views each) per sec
+    print(
+        json.dumps(
+            {
+                "metric": "2-cam HRNet-W32 2D+triangulation throughput",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / 1000.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,12 @@
+"""Device meshes and pjit-sharded batch pipelines (SURVEY.md §2.3)."""
+
+from .mesh import make_mesh, data_sharding, replicated
+from .pipeline import ShardedPosePipeline, sharded_refine_step
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "ShardedPosePipeline",
+    "sharded_refine_step",
+]

@@ -1,0 +1,179 @@
+"""pjit-sharded batch pipelines: multi-camera inference + DP refinement.
+
+TPU mapping of the reference's latent parallel axes (SURVEY.md §2.3):
+
+- **Inference** (`ShardedPosePipeline`): the reference's per-frame,
+  per-camera Python loop (pose_estimation.py:184-194, :88) becomes one
+  jitted program over a (T, C, H, W, 3) block with the TIME axis sharded
+  over the ``data`` mesh axis.  Cameras fold into the model batch.  The
+  only cross-device movement is the implicit all-gather of per-shard
+  outputs — triangulation consumes only same-frame data, so it shards
+  cleanly with time.
+
+- **Refinement** (`sharded_refine_step`): the reference's serial loop over
+  overlapping batch windows (pose_refinement.py:1006-1050) becomes
+  synchronous data parallelism: each device computes the cost gradient of
+  its shard of windows; the mean reduction makes XLA insert the gradient
+  all-reduce over ICI.  (Semantics: one synchronous step over all windows
+  per iteration, the standard DP mapping of a serial minibatch loop.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.topdown import _predict
+from ..ops.triangulation import triangulate_top2
+from ..refine.costs import likelihood_cost, nan_mean
+from .mesh import data_sharding, replicated
+
+__all__ = ["ShardedPosePipeline", "sharded_refine_step"]
+
+
+class ShardedPosePipeline:
+    """End-to-end 2D+3D estimation sharded over time across a device mesh.
+
+    Args:
+    - ``estimator``: a `models.TopDownEstimator`.
+    - ``cam_stack``: {"K": (C,3,3), "R": (C,3,3), "T": (C,3),
+      "dist": (C,5)} from `io.stack_camera_params`.
+    - ``mesh``: a 1-D device mesh (`parallel.make_mesh()`); None = single
+      device jit.
+
+    ``run(frames)`` with frames (T, C, H, W, 3) returns the reference's
+    wire shapes (SURVEY.md §1): kpts_2d (T, K, 3, C), heatmaps (T, C, K, 6),
+    kpts_3d (T, K, 3).
+    """
+
+    def __init__(self, estimator, cam_stack, mesh=None, conf_threshold: float = 0.3):
+        self.estimator = estimator
+        self.mesh = mesh
+        self.conf_threshold = float(conf_threshold)
+        self.cam_stack = {k: jnp.asarray(v, jnp.float32) for k, v in cam_stack.items()}
+
+        fn = partial(
+            _pipeline_fn,
+            estimator.model,
+            estimator.input_size,
+            estimator.decode,
+            estimator.heatmap_threshold,
+            estimator.bbox_padding,
+            self.conf_threshold,
+        )
+        if mesh is None:
+            self._run = jax.jit(fn)
+        else:
+            rep = replicated(mesh)
+            self._run = jax.jit(
+                fn,
+                in_shardings=(
+                    rep,  # variables
+                    data_sharding(mesh, 5),  # frames (T, C, H, W, 3)
+                    data_sharding(mesh, 3),  # bboxes (T, C, 4)
+                    rep,  # cam stack
+                ),
+            )
+
+    def run(self, frames, bboxes=None):
+        frames = jnp.asarray(frames)
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(jnp.float32) / 255.0
+        T, C, H, W = frames.shape[:4]
+        if bboxes is None:
+            bboxes = jnp.tile(
+                jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1)
+            )
+        return self._run(self.estimator.variables, frames, jnp.asarray(bboxes), self.cam_stack)
+
+
+def _pipeline_fn(model, input_size, decode, hm_thr, pad, conf_thr,
+                 variables, frames, bboxes, cam):
+    T, C, H, W, _ = frames.shape
+    flat = frames.reshape(T * C, H, W, 3)
+    out = _predict(model, input_size, decode, hm_thr, pad,
+                   variables, flat, bboxes.reshape(T * C, 4))
+    kpts = out["keypoints"].reshape(T, C, -1, 3)  # (T, C, K, 3)
+    gauss = out["gaussians"].reshape(T, C, -1, 6)
+
+    conf = kpts[..., 2]  # (T, C, K)
+    # Low-confidence joints -> NaN, the pipeline's missing-data mechanism
+    # (reference pose_estimation.py:117-131).
+    xy = jnp.where(conf[..., None] > conf_thr, kpts[..., :2], jnp.nan)
+    xy_jc = jnp.swapaxes(xy, 1, 2)  # (T, K, C, 2)
+    conf_jc = jnp.swapaxes(conf, 1, 2)  # (T, K, C)
+    kpts_3d = triangulate_top2(
+        xy_jc, conf_jc, cam["K"], cam["dist"], cam["R"], cam["T"]
+    )  # (T, K, 3)
+
+    # Reference layout: (T, K, 3, C) with (x, y, conf) stacked camera-last
+    # (pose_estimation.py:135).
+    kpts_2d = jnp.concatenate([xy_jc, conf_jc[..., None]], axis=-1)  # (T,K,C,3)
+    kpts_2d = jnp.swapaxes(kpts_2d, -1, -2)  # (T, K, 3, C)
+    return {"kpts_2d": kpts_2d, "heatmaps_2d": gauss, "kpts_3d": kpts_3d}
+
+
+def sharded_refine_step(mesh, lr: float = 1e-3, betas=(0.9, 0.999),
+                        lambda_smooth: float = 1.0, grad_clip: float = 1.0):
+    """Build (step_fn, tx) for a data-parallel refinement training step.
+
+    ``step_fn(params, opt_state, batch)``:
+
+    - ``params["traj"]`` (N, B, J, 3): trajectory windows — learnable,
+      SHARDED over the data axis (each device optimizes its windows).
+    - ``params["rvecs"]``/``params["tvecs"]`` (C, 3): camera extrinsics —
+      learnable, REPLICATED.  Their gradients depend on every shard's
+      windows, so the mean loss makes XLA insert the DP gradient
+      all-reduce over ICI (the one collective this workload needs,
+      SURVEY.md §2.3); global-norm clipping adds a scalar all-reduce.
+    - ``batch``: ``means`` (N, B, C, J, 2) and ``cov_inv``
+      (N, B, C, J, 2, 2) sharded with the windows; ``Ks``/``dists``
+      replicated.
+
+    Optimizer state shardings are inferred from the params tree (moments
+    mirror their parameters: sharded for traj, replicated for extrinsics).
+    """
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.scale_by_adam(b1=betas[0], b2=betas[1]),
+        optax.scale(-lr),
+    )
+
+    def loss_fn(params, batch):
+        def per_window(tw, mw, cw):
+            lik = likelihood_cost(tw, mw, cw, batch["Ks"], params["rvecs"],
+                                  params["tvecs"], batch["dists"])
+            d2 = tw[2:] - 2.0 * tw[1:-1] + tw[:-2]
+            smooth = lambda_smooth * nan_mean(jnp.sum(d2 * d2, axis=(-2, -1)))
+            return lik + smooth
+
+        per = jax.vmap(per_window)(params["traj"], batch["means"], batch["cov_inv"])
+        return jnp.mean(per)
+
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    rep = replicated(mesh)
+    params_sharding = {
+        "traj": data_sharding(mesh, 4),
+        "rvecs": rep,
+        "tvecs": rep,
+    }
+    batch_sharding = {
+        "means": data_sharding(mesh, 5),
+        "cov_inv": data_sharding(mesh, 6),
+        "Ks": rep,
+        "dists": rep,
+    }
+    step_jit = jax.jit(
+        step,
+        in_shardings=(params_sharding, None, batch_sharding),
+        out_shardings=(params_sharding, None, rep),
+    )
+    return step_jit, tx

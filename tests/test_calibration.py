@@ -1,0 +1,145 @@
+"""Calibration tests against synthetic ground truth (SURVEY.md §4:
+"calibration on synthetic checkerboard corners")."""
+
+import numpy as np
+import pytest
+
+from multi_camera_3d_pose_estimation_tpu.calib import (
+    board_object_points,
+    calibrate_camera,
+    checkerboard_square_size_cm,
+    compute_extrinsic_from_measurements,
+    create_checkerboard_image,
+    find_homography,
+    solve_pnp,
+    stereo_calibrate,
+)
+from multi_camera_3d_pose_estimation_tpu.ops import rodrigues_matrix
+from tests.conftest import project_np
+
+
+def synth_views(rng, K, dist, n_views=8, rows=6, cols=9, square=3.0, noise=0.0):
+    """Random board poses in front of a camera → (obj (V,N,3), img (V,N,2))."""
+    obj = board_object_points(rows, cols, square)
+    objs, imgs = [], []
+    for _ in range(n_views):
+        ang = rng.uniform(-0.4, 0.4, 3)
+        R = np.asarray(rodrigues_matrix(ang))
+        t = np.array(
+            [rng.uniform(-8, 8), rng.uniform(-6, 6), rng.uniform(40, 90)]
+        )
+        img = project_np(obj, K, R, t, dist)
+        img = img + rng.normal(0, noise, img.shape)
+        objs.append(obj)
+        imgs.append(img)
+    return np.stack(objs), np.stack(imgs)
+
+
+@pytest.fixture
+def cam_truth():
+    K = np.array([[800.0, 0.0, 320.0], [0.0, 790.0, 240.0], [0.0, 0.0, 1.0]])
+    dist = np.array([-0.12, 0.03, 0.001, -0.0008, 0.0])
+    return K, dist
+
+
+def test_homography_exact(rng):
+    H_true = np.array([[1.2, 0.1, 5.0], [-0.05, 0.9, -3.0], [1e-4, -2e-4, 1.0]])
+    src = rng.uniform(-10, 10, (40, 2))
+    src_h = np.concatenate([src, np.ones((40, 1))], axis=1)
+    dst_h = src_h @ H_true.T
+    dst = dst_h[:, :2] / dst_h[:, 2:]
+    H = np.asarray(find_homography(src, dst))
+    np.testing.assert_allclose(H, H_true / H_true[2, 2], atol=1e-8)
+
+
+def test_calibrate_camera_noiseless(rng, cam_truth):
+    K, dist = cam_truth
+    objs, imgs = synth_views(rng, K, dist)
+    rmse, K_est, d_est, rvecs, tvecs = calibrate_camera(objs, imgs)
+    assert rmse < 0.05, rmse
+    np.testing.assert_allclose(K_est, K, rtol=5e-3)
+    np.testing.assert_allclose(d_est.ravel(), dist, atol=5e-3)
+
+
+def test_calibrate_camera_noisy(rng, cam_truth):
+    K, dist = cam_truth
+    objs, imgs = synth_views(rng, K, dist, n_views=12, noise=0.2)
+    rmse, K_est, d_est, _, _ = calibrate_camera(objs, imgs)
+    assert rmse < 0.5, rmse  # ≈ noise level
+    np.testing.assert_allclose(K_est[0, 0], K[0, 0], rtol=0.02)
+    np.testing.assert_allclose(K_est[1, 1], K[1, 1], rtol=0.02)
+
+
+def test_solve_pnp(rng, cam_truth):
+    K, dist = cam_truth
+    pts3d = rng.uniform([-20, -20, 0], [20, 20, 15], (30, 3))
+    R_true = np.asarray(rodrigues_matrix(np.array([0.2, -0.3, 0.1])))
+    t_true = np.array([2.0, -1.0, 60.0])
+    img = project_np(pts3d, K, R_true, t_true, dist)
+    rvec, tvec = solve_pnp(pts3d, img, K, dist)
+    R_est = np.asarray(rodrigues_matrix(np.asarray(rvec)))
+    np.testing.assert_allclose(R_est, R_true, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tvec), t_true, atol=1e-4)
+
+
+def test_stereo_calibrate(rng, cam_truth):
+    K0, dist0 = cam_truth
+    K1 = np.array([[760.0, 0.0, 310.0], [0.0, 765.0, 250.0], [0.0, 0.0, 1.0]])
+    dist1 = np.array([0.05, -0.01, -0.0005, 0.0006, 0.0])
+    # True relative pose of camera 1 w.r.t. camera 0.
+    R_rel = np.asarray(rodrigues_matrix(np.array([0.05, 0.5, -0.02])))
+    t_rel = np.array([-25.0, 1.0, 6.0])
+
+    obj = board_object_points(6, 9, 3.0)
+    objs, imgs0, imgs1 = [], [], []
+    for _ in range(10):
+        ang = rng.uniform(-0.3, 0.3, 3)
+        Rb = np.asarray(rodrigues_matrix(ang))
+        tb = np.array([rng.uniform(-5, 5), rng.uniform(-4, 4), rng.uniform(50, 80)])
+        imgs0.append(project_np(obj, K0, Rb, tb, dist0))
+        imgs1.append(project_np(obj, K1, R_rel @ Rb, R_rel @ tb + t_rel, dist1))
+        objs.append(obj)
+    rmse, R_est, T_est = stereo_calibrate(
+        np.stack(objs), np.stack(imgs0), np.stack(imgs1), K0, dist0, K1, dist1
+    )
+    assert rmse < 0.05, rmse
+    np.testing.assert_allclose(R_est, R_rel, atol=1e-4)
+    np.testing.assert_allclose(T_est.ravel(), t_rel, atol=1e-3)
+
+
+def test_checkerboard_image():
+    img, k = create_checkerboard_image(6, 9, 1920, 1080, border_px=10)
+    assert img.shape == (1080, 1920)
+    assert k == int(min(1920 / 9, 1080 / 6)) - 10
+    assert set(np.unique(img)) <= {0, 255}
+    assert abs(checkerboard_square_size_cm(k, 5.0) - k / 50.0) < 1e-12
+
+
+def test_board_object_points_layout():
+    pts = board_object_points(2, 3, 2.0)
+    assert pts.shape == (6, 3)
+    np.testing.assert_allclose(pts[:, 2], 0.0)
+    np.testing.assert_allclose(pts[1] - pts[0], [2.0, 0.0, 0.0])
+    np.testing.assert_allclose(pts[3] - pts[0], [0.0, 2.0, 0.0])
+
+
+def test_manual_extrinsics():
+    R, T = compute_extrinsic_from_measurements([100.0, 0.0, 50.0], 3.0, 4.0)
+    # Rotation about Y by atan2(4, 3); camera centre maps to origin offset.
+    yaw = np.arctan2(4.0, 3.0)
+    assert abs(R[0, 0] - np.cos(yaw)) < 1e-12
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    np.testing.assert_allclose(
+        (R @ np.array([100.0, 0.0, 50.0]) + T.ravel()), 0.0, atol=1e-12
+    )
+
+
+def test_find_corners_on_synthetic_board():
+    from multi_camera_3d_pose_estimation_tpu.calib import find_checkerboard_corners
+
+    img, k = create_checkerboard_image(5, 7, 800, 600, border_px=4)
+    found, corners = find_checkerboard_corners(img, 4, 6)  # inner corners
+    assert found
+    assert corners.shape == (24, 2)
+    # All corners must lie on the board area.
+    assert corners[:, 0].min() > 0 and corners[:, 0].max() < 800

@@ -1,0 +1,113 @@
+"""Sharded pipeline tests on the virtual 8-device CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_camera_3d_pose_estimation_tpu.models import HRNet, TopDownEstimator
+from multi_camera_3d_pose_estimation_tpu.parallel import (
+    ShardedPosePipeline,
+    data_sharding,
+    make_mesh,
+    replicated,
+    sharded_refine_step,
+)
+
+SMALL = {"widths": (8, 16, 32, 64), "modules": (1, 1, 1, 1), "stem": 16}
+
+
+@pytest.fixture(scope="module")
+def small_pipeline_parts():
+    model = HRNet(num_joints=17, cfg=SMALL, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
+    est = TopDownEstimator(model, variables, input_size=(32, 64), decode="heatmap")
+    C = 2
+    cam_stack = {
+        "K": np.tile(np.array([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1]]), (C, 1, 1)),
+        "R": np.stack([np.eye(3)] * C),
+        "T": np.stack([np.zeros(3), np.array([-30.0, 0, 0])]),
+        "dist": np.zeros((C, 5)),
+    }
+    return est, cam_stack
+
+
+def test_mesh_creation():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("data",)
+
+
+def test_mesh_too_many_devices():
+    with pytest.raises(ValueError, match="need 64 devices"):
+        make_mesh(64)
+
+
+def test_sharded_pipeline_matches_single_device(small_pipeline_parts):
+    est, cam_stack = small_pipeline_parts
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(size=(8, 2, 120, 160, 3)).astype(np.float32)
+
+    single = ShardedPosePipeline(est, cam_stack, mesh=None)
+    mesh = make_mesh(8)
+    sharded = ShardedPosePipeline(est, cam_stack, mesh=mesh)
+
+    out_s = single.run(frames)
+    out_m = sharded.run(frames)
+    for key in ("kpts_2d", "heatmaps_2d", "kpts_3d"):
+        np.testing.assert_allclose(
+            np.asarray(out_s[key]), np.asarray(out_m[key]), rtol=1e-4, atol=1e-4,
+            err_msg=key, equal_nan=True,
+        )
+
+
+def test_sharded_pipeline_wire_shapes(small_pipeline_parts):
+    est, cam_stack = small_pipeline_parts
+    mesh = make_mesh(8)
+    pipe = ShardedPosePipeline(est, cam_stack, mesh=mesh)
+    frames = np.zeros((8, 2, 64, 64, 3), np.float32)
+    out = pipe.run(frames)
+    # Reference wire format (SURVEY.md §1 dataflow table).
+    assert out["kpts_2d"].shape == (8, 17, 3, 2)
+    assert out["heatmaps_2d"].shape == (8, 2, 17, 6)
+    assert out["kpts_3d"].shape == (8, 17, 3)
+
+
+def test_sharded_refine_step_decreases_loss():
+    mesh = make_mesh(8)
+    N, B, C, J = 16, 4, 2, 5
+    rng = np.random.default_rng(0)
+    step, tx = sharded_refine_step(mesh, lr=0.05, lambda_smooth=0.0)
+    params = {
+        "traj": jax.device_put(
+            jnp.asarray(rng.normal(0, 1, (N, B, J, 3)) + np.array([0, 0, 300.0]), jnp.float32),
+            data_sharding(mesh, 4),
+        ),
+        "rvecs": jax.device_put(jnp.full((C, 3), 1e-4, jnp.float32), replicated(mesh)),
+        "tvecs": jax.device_put(
+            jnp.asarray(np.stack([np.zeros(3), [-30.0, 0, 0]]), jnp.float32),
+            replicated(mesh),
+        ),
+    }
+    K = jnp.asarray([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1.0]], jnp.float32)
+    batch = {
+        "means": jax.device_put(
+            jnp.asarray(rng.uniform(20, 140, (N, B, C, J, 2)), jnp.float32),
+            data_sharding(mesh, 5),
+        ),
+        "cov_inv": jax.device_put(
+            jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32) / 25.0, (N, B, C, J, 2, 2)),
+            data_sharding(mesh, 6),
+        ),
+        "Ks": jax.device_put(jnp.broadcast_to(K, (C, 3, 3)), replicated(mesh)),
+        "dists": jax.device_put(jnp.zeros((C, 5), jnp.float32), replicated(mesh)),
+    }
+    opt_state = tx.init(params)
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses[:3] + losses[-3:]
+    assert np.isfinite(losses).all()
+    # Extrinsics stayed replicated and finite.
+    assert np.isfinite(np.asarray(params["rvecs"])).all()
