@@ -1,0 +1,138 @@
+"""End-to-end estimation entry: synced videos → kpts_2d/heatmaps/kpts_3d.
+
+TPU-native re-design of `pose_estimation.estimate_pose_from_video`
+(pose_estimation.py:259-327) + its drivers `run_pose_est` (:157) and
+`get_pose_2D`/`get_pose_3D` (:71, :11).  The reference iterates frames in
+Python, calling two torch models per camera per frame; here the native
+decoder streams (block, C, H, W, 3) uint8 blocks to the device while the
+PREVIOUS block runs the jitted crop→model→decode→triangulate program
+(`parallel.ShardedPosePipeline`) — decode and TPU compute overlap.
+
+Artifact contract preserved (SURVEY.md §1): `kpts_2d.npy` (T, 17, 3, C),
+`heatmaps_2d.npy` (T, C, 17, 6), `kpts_3d.npy` (T, 17, 3); existing
+`kpts_2d.npy` is reused unless ``overwrite=True`` (the reference's
+reuse-or-recompute prompt, pose_estimation.py:286-289, made explicit).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..io.camera_params import get_params_from_name, stack_camera_params
+from ..io.frames import BatchedFramePipeline
+from ..io.manifest import load_camera_names
+from ..models.registry import build_estimator
+from ..parallel.pipeline import ShardedPosePipeline
+
+__all__ = ["estimate_pose_from_video", "run_pipeline_on_videos"]
+
+
+def run_pipeline_on_videos(
+    pipeline: ShardedPosePipeline,
+    video_paths,
+    block_size: int = 16,
+    conf_threshold: float = 0.3,
+    progress: bool = True,
+):
+    """Stream videos through the jitted pipeline; returns stacked results."""
+    frames_src = BatchedFramePipeline(video_paths, block_size=block_size)
+    kpts_2d, heatmaps, kpts_3d = [], [], []
+    n_done = 0
+    try:
+        iterator = frames_src
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                iterator = tqdm(frames_src, desc="pose estimation", unit="block")
+            except ImportError:
+                pass
+        for block, n_valid in iterator:
+            out = pipeline.run(block)
+            kpts_2d.append(np.asarray(out["kpts_2d"])[:n_valid])
+            heatmaps.append(np.asarray(out["heatmaps_2d"])[:n_valid])
+            kpts_3d.append(np.asarray(out["kpts_3d"])[:n_valid])
+            n_done += n_valid
+    finally:
+        frames_src.close()
+    if not kpts_2d:
+        raise RuntimeError(f"no frames decoded from {video_paths}")
+    return (
+        np.concatenate(kpts_2d),
+        np.concatenate(heatmaps),
+        np.concatenate(kpts_3d),
+    )
+
+
+def estimate_pose_from_video(
+    recording_paths,
+    project_dir: str = "",
+    camera_names=None,
+    pose_estimation_model: str = "coco_hrnet_w32",
+    checkpoint: str | None = None,
+    save_dir: str | None = None,
+    overwrite: bool = False,
+    block_size: int = 16,
+    conf_threshold: float = 0.3,
+    mesh=None,
+):
+    """Full 2D+3D estimation over synchronized recordings.
+
+    - ``camera_names``: ordered list of camera names matching
+      ``recording_paths``; None loads `camera_names.pkl` from
+      ``<project_dir>/extrinsic_camera_parameters`` (reference
+      pose_estimation.py:265-266).
+    - Camera ``.dat`` files are read from the project directory layout.
+
+    Returns ``(kpts_2d, heatmaps_2d, kpts_3d)`` and writes the npy
+    artifacts into ``save_dir`` (default: alongside the recordings).
+    """
+    save_dir = save_dir or os.path.dirname(str(recording_paths[0]))
+    k2_path = os.path.join(save_dir, "kpts_2d.npy")
+    hm_path = os.path.join(save_dir, "heatmaps_2d.npy")
+    k3_path = os.path.join(save_dir, "kpts_3d.npy")
+    if not overwrite and os.path.exists(k2_path) and os.path.exists(hm_path):
+        kpts_2d = np.load(k2_path)
+        heatmaps = np.load(hm_path)
+        kpts_3d = np.load(k3_path) if os.path.exists(k3_path) else None
+        if kpts_3d is not None:
+            return kpts_2d, heatmaps, kpts_3d
+
+    if camera_names is None:
+        cameras, _origin = load_camera_names(
+            os.path.join(project_dir, "extrinsic_camera_parameters")
+        )
+        camera_names = [cameras[k] for k in sorted(cameras)]
+
+    cam_lists = []
+    for name in camera_names:
+        _P, plist = get_params_from_name(
+            name,
+            intrinsic_params_dir=os.path.join(project_dir, "intrinsic_camera_parameters"),
+            extrinsic_params_dir=os.path.join(project_dir, "extrinsic_camera_parameters"),
+        )
+        K, R, T, dist = plist
+        if K is None:
+            raise FileNotFoundError(
+                f"missing intrinsics for camera '{name}' under {project_dir}"
+            )
+        if R is None:
+            R, T = np.eye(3), np.zeros(3)  # origin camera convention
+        cam_lists.append([K, R, T, dist])
+    cam_stack = stack_camera_params(cam_lists)
+
+    estimator = build_estimator(pose_estimation_model, checkpoint=checkpoint)
+    pipeline = ShardedPosePipeline(
+        estimator, cam_stack, mesh=mesh, conf_threshold=conf_threshold
+    )
+    kpts_2d, heatmaps, kpts_3d = run_pipeline_on_videos(
+        pipeline, recording_paths, block_size=block_size
+    )
+
+    os.makedirs(save_dir, exist_ok=True)
+    np.save(k2_path, kpts_2d)
+    np.save(hm_path, heatmaps)
+    np.save(k3_path, kpts_3d)
+    return kpts_2d, heatmaps, kpts_3d

@@ -1,0 +1,142 @@
+"""Refinement CLI — flag/YAML surface parity with pose_refinement.py:1099-1256.
+
+Same flags, same `recording_log.yaml` backfill (:1134-1144), same
+`refinement_params_yaml` sections (``linear_interpolation:`` / ``SGD:``)
+merged over introspected defaults via `io.prepare_kwargs` (:1166-1171),
+same artifacts (``kpts_3d_linear_interpolation.npy``, ``kpts_3d_SGD.npy``)
+and the per-segment body-length mean/std report (:1239-1247).  The SGD
+engine underneath is the jitted `refine.PoseRefiner`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import yaml
+
+from ..io.camera_params import get_params_from_name
+from ..io.config import load_config, prepare_kwargs
+from ..io.manifest import load_camera_names
+from ..refine import PoseRefiner, linear_interpolation
+from ..utils.skeleton import get_body_part_lengths
+
+__all__ = ["main", "run_refinement"]
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="Refine estimated 3D pose trajectories")
+    p.add_argument("--run_path", type=str, default=".",
+                   help="Path containing heatmaps, 3D pose, and recording log")
+    p.add_argument("--refinement_types", nargs="+",
+                   default=["linear_interpolation"],
+                   choices=["linear_interpolation", "SGD"])
+    p.add_argument("--recording_log", type=str)
+    p.add_argument("--heatmaps_2d", type=str)
+    p.add_argument("--kpts_2d", type=str)
+    p.add_argument("--kpts_3d", type=str)
+    p.add_argument("--model", type=str)
+    p.add_argument("--save_path", type=str)
+    p.add_argument("--extrinsic_params_dir", type=str)
+    p.add_argument("--intrinsic_params_dir", type=str)
+    p.add_argument("--refinement_params_yaml", type=str)
+    p.add_argument("--body_part_lengths_yaml", type=str)
+    p.add_argument("--body_part_lengths_individual_name_yaml", type=str,
+                   default="my_lengths")
+    p.add_argument("--ignore_body_lengths", action="store_true")
+    p.add_argument("--interpolate_before_SGD", action="store_true")
+    return p
+
+
+def _report_body_lengths(label: str, trajectory: np.ndarray) -> None:
+    print(f"mean and std of {label} body part lengths")
+    lengths = get_body_part_lengths(trajectory)
+    for name, vals in lengths.items():
+        v = np.asarray(vals)
+        print("; ".join([name, str(np.nanmean(v)), str(np.nanstd(v))]))
+
+
+def run_refinement(args) -> dict:
+    run_path = args.run_path or "."
+    save_path = args.save_path or run_path
+
+    # Backfill from recording_log.yaml (reference :1134-1144).
+    log = {}
+    log_path = args.recording_log or os.path.join(run_path, "recording_log.yaml")
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            log = yaml.safe_load(f) or {}
+    for key in ("heatmaps_2d", "kpts_2d", "kpts_3d"):
+        if getattr(args, key) is None and key in log:
+            setattr(args, key, log[key])
+
+    kpts_3d = np.load(args.kpts_3d)
+    params = load_config(args.refinement_params_yaml)
+
+    results = {}
+
+    # Linear interpolation always runs (also the SGD init when
+    # --interpolate_before_SGD, reference :1170-1176).
+    li_kwargs = prepare_kwargs(linear_interpolation, params.get("linear_interpolation"))
+    li_kwargs.pop("points", None)
+    kpts_3d_interp = np.asarray(linear_interpolation(kpts_3d, **li_kwargs))
+    if "linear_interpolation" in args.refinement_types:
+        out = os.path.join(save_path, "kpts_3d_linear_interpolation.npy")
+        print(f"saving linear interpolation at {out}")
+        np.save(out, kpts_3d_interp)
+        results["linear_interpolation"] = kpts_3d_interp
+
+    if "SGD" in args.refinement_types:
+        heatmaps = np.load(args.heatmaps_2d)
+        extr_dir = args.extrinsic_params_dir or os.path.normpath(
+            os.path.join(run_path, "..", "..", "extrinsic_camera_parameters")
+        )
+        intr_dir = args.intrinsic_params_dir or os.path.join(
+            os.getcwd(), "intrinsic_camera_parameters"
+        )
+        cameras, _origin = load_camera_names(extr_dir)
+        cam_params = {}
+        for idx in sorted(cameras):
+            name = cameras[idx]
+            _P, plist = get_params_from_name(
+                name, intrinsic_params_dir=intr_dir, extrinsic_params_dir=extr_dir
+            )
+            cam_params[idx] = plist
+
+        body_lengths = None
+        if not args.ignore_body_lengths:
+            bl_yaml = args.body_part_lengths_yaml
+            if bl_yaml is None and os.path.exists("./body_part_lengths.yaml"):
+                bl_yaml = "./body_part_lengths.yaml"
+            if bl_yaml is not None:
+                with open(bl_yaml) as f:
+                    body_lengths = yaml.safe_load(f)[
+                        args.body_part_lengths_individual_name_yaml
+                    ]
+
+        init = kpts_3d_interp if args.interpolate_before_SGD else kpts_3d
+        refiner = PoseRefiner(heatmaps, init, cam_params, body_lengths=body_lengths)
+        sgd_kwargs = dict(params.get("SGD") or {})
+        time_interval = tuple(sgd_kwargs.pop("time_interval", (0, -1)))
+        res = refiner.sgd_optimize(time_interval=time_interval, **sgd_kwargs)
+
+        _report_body_lengths("initial trajectory's", init)
+        _report_body_lengths("estimated trajectory's", res.trajectory)
+
+        out = os.path.join(save_path, "kpts_3d_SGD.npy")
+        print(f"saving SGD refinement at {out} ({res.n_iter} epochs, "
+              f"best cost {res.best_total_cost:.4e})")
+        np.save(out, res.trajectory)
+        results["SGD"] = res.trajectory
+        results["SGD_result"] = res
+    return results
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    run_refinement(args)
+
+
+if __name__ == "__main__":
+    main()

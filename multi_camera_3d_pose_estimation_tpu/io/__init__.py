@@ -18,6 +18,14 @@ from .manifest import (
     load_camera_names,
 )
 from .config import load_config, get_function_defaults, prepare_kwargs
+from .frames import (
+    VideoReader,
+    frame_generator,
+    load_frames,
+    load_image_frames,
+    write_keypoints_to_disk,
+    BatchedFramePipeline,
+)
 
 __all__ = [
     "save_camera_intrinsics",
@@ -34,6 +42,12 @@ __all__ = [
     "save_camera_names",
     "load_camera_names",
     "load_config",
+    "VideoReader",
+    "frame_generator",
+    "load_frames",
+    "load_image_frames",
+    "write_keypoints_to_disk",
+    "BatchedFramePipeline",
     "get_function_defaults",
     "prepare_kwargs",
 ]

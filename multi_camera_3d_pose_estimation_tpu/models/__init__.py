@@ -7,6 +7,11 @@ from .detector import (
     SinglePersonDetector,
     full_frame_bboxes,
 )
+from .registry import (
+    MODEL_REGISTRY,
+    build_estimator,
+    resolve_model_name,
+)
 from .topdown import (
     TopDownEstimator,
     center_scale_from_bbox,
@@ -28,6 +33,9 @@ __all__ = [
     "SinglePersonDetector",
     "full_frame_bboxes",
     "TopDownEstimator",
+    "MODEL_REGISTRY",
+    "build_estimator",
+    "resolve_model_name",
     "center_scale_from_bbox",
     "crop_frames",
     "IMAGENET_MEAN",

@@ -1,0 +1,130 @@
+"""Model registry: name → built estimator (the `model_paths.yaml` surface).
+
+The reference selects models by MMPose/MMDetection config names in
+`model_paths.yaml` (examples/model_paths.yaml:1-18, consumed at
+pose_estimation.py:290-297).  This registry preserves that YAML surface:
+the same file schema (``pose_estimation_models: {<name>: {...}}`` plus
+detector entries) resolves to from-scratch flax models here.  Checkpoints
+are orbax/npz files of OUR parameter pytrees; `convert.load_torch_hrnet`
+can translate upstream torch HRNet weights when a file is provided (no
+downloads — zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hrnet import HRNET_W32, HRNET_W48, HRNet
+from .rtmpose import RTMPOSE_M, RTMPOSE_S, RTMPOSE_T, RTMPose
+from .topdown import TopDownEstimator
+
+__all__ = ["MODEL_REGISTRY", "build_estimator", "resolve_model_name"]
+
+# name → (family, cfg, decode, input_size (w, h))
+MODEL_REGISTRY: dict[str, dict[str, Any]] = {
+    # Heatmap path (BASELINE config 2; the reference's swin/heatmap models
+    # map onto the HRNet heatmap family here).
+    "coco_hrnet_w32": {"family": "hrnet", "cfg": HRNET_W32, "decode": "heatmap",
+                       "input_size": (192, 256)},
+    "coco_hrnet_w48": {"family": "hrnet", "cfg": HRNET_W48, "decode": "heatmap",
+                       "input_size": (288, 384)},
+    # SimCC path (BASELINE config 3; reference `coco_rtmpose-t`,
+    # examples/model_paths.yaml:14-18).
+    "coco_rtmpose-t": {"family": "rtmpose", "cfg": RTMPOSE_T, "decode": "simcc",
+                       "input_size": (192, 256)},
+    "coco_rtmpose-s": {"family": "rtmpose", "cfg": RTMPOSE_S, "decode": "simcc",
+                       "input_size": (192, 256)},
+    "coco_rtmpose-m": {"family": "rtmpose", "cfg": RTMPOSE_M, "decode": "simcc",
+                       "input_size": (256, 256)},
+    # Minimal smoke-test model (CI / CPU pipeline tests; not for accuracy).
+    "test_tiny": {
+        "family": "hrnet",
+        "cfg": {"widths": (8, 16, 32, 64), "modules": (1, 1, 1, 1), "stem": 16},
+        "decode": "heatmap",
+        "input_size": (32, 64),
+    },
+}
+
+_ALIASES = {
+    # Reference example config names → nearest family here.
+    "coco_swin_b": "coco_hrnet_w32",
+    "coco_swin_l": "coco_hrnet_w48",
+}
+
+
+def resolve_model_name(name: str) -> str:
+    if name in MODEL_REGISTRY:
+        return name
+    if name in _ALIASES:
+        return _ALIASES[name]
+    raise KeyError(
+        f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)} "
+        f"(aliases: {sorted(_ALIASES)})"
+    )
+
+
+def build_estimator(
+    name: str = "coco_hrnet_w32",
+    checkpoint: str | None = None,
+    num_joints: int = 17,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+) -> TopDownEstimator:
+    """Construct a ready `TopDownEstimator` by registry name.
+
+    ``checkpoint``: path to an .npz/.msgpack of our parameter pytree, or a
+    torch .pth for the hrnet family (converted on load).  None → random
+    init (pipeline-correct; accuracy requires trained weights).
+    """
+    spec = MODEL_REGISTRY[resolve_model_name(name)]
+    in_w, in_h = spec["input_size"]
+    if spec["family"] == "hrnet":
+        model = HRNet(num_joints=num_joints, cfg=spec["cfg"], dtype=dtype)
+    else:
+        model = RTMPose(
+            num_joints=num_joints,
+            input_size=spec["input_size"],
+            cfg=spec["cfg"],
+            dtype=dtype,
+        )
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
+    if checkpoint:
+        variables = _load_checkpoint(variables, checkpoint, spec["family"])
+    return TopDownEstimator(
+        model, variables, input_size=spec["input_size"], decode=spec["decode"]
+    )
+
+
+def _load_checkpoint(variables, path: str, family: str):
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    if path.endswith((".pth", ".pt")):
+        from .convert import load_torch_hrnet
+
+        if family != "hrnet":
+            raise ValueError("torch checkpoint conversion implemented for hrnet only")
+        return load_torch_hrnet(variables, path)
+    if path.endswith(".npz"):
+        flat = dict(np.load(path, allow_pickle=False))
+        leaves, treedef = jax.tree.flatten(variables)
+        restored = [jnp.asarray(flat[f"p{i}"]) for i in range(len(leaves))]
+        for a, b in zip(leaves, restored):
+            if a.shape != b.shape:
+                raise ValueError(f"checkpoint shape mismatch: {a.shape} vs {b.shape}")
+        return jax.tree.unflatten(treedef, restored)
+    # orbax directory
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), variables)
+
+
+def save_checkpoint_npz(variables, path: str) -> None:
+    """Flat-npz dump of a parameter pytree (portable, no orbax needed)."""
+    leaves, _ = jax.tree.flatten(variables)
+    np.savez(path, **{f"p{i}": np.asarray(v) for i, v in enumerate(leaves)})

@@ -1,0 +1,296 @@
+// Native media runtime: libav demux/decode + threaded prefetch ring.
+//
+// TPU-native replacement for the host-side media layer the reference
+// delegates to cv2.VideoCapture/moviepy/librosa (SURVEY.md §2.2/§2.5:
+// "cv2 VideoCapture/VideoWriter (ffmpeg)" and "librosa load + argmax" →
+// "Host glue: ffmpeg decode to PCM ... host-side decode feeding
+// device-resident batched frame tensors").  The hot path the reference
+// lacks: a background decode thread filling a ring of preallocated RGB
+// blocks so JAX dispatch never waits on the demuxer (overlapped
+// decode → staging → device prefetch per BASELINE.json's ≥1000 fps/chip
+// budget).  Exposed as a plain C ABI for ctypes (no pybind11 in image).
+//
+// Build: g++ -O3 -fPIC -shared mediadec.cpp -o libmediadec.so \
+//        -lavformat -lavcodec -lavutil -lswscale -lswresample -lpthread
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswresample/swresample.h>
+#include <libswscale/swscale.h>
+}
+
+#include <atomic>
+#include <condition_variable>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct VideoHandle {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* dec = nullptr;
+  SwsContext* sws = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  int stream_index = -1;
+  int width = 0, height = 0;
+  double fps = 0.0;
+  int64_t nframes = -1;  // container estimate; -1 unknown
+  bool eof = false;
+  std::string error;
+
+  // Prefetch state.
+  std::thread worker;
+  std::mutex mu;
+  std::condition_variable cv_full, cv_empty;
+  std::deque<std::vector<uint8_t>> ready;  // decoded RGB frames
+  size_t ring_capacity = 0;
+  std::atomic<bool> stop{false};
+  bool prefetching = false;
+};
+
+bool decode_next_into(VideoHandle* h, uint8_t* rgb_out) {
+  // Returns false at EOF/error. rgb_out: H*W*3 bytes.
+  while (true) {
+    int ret = avcodec_receive_frame(h->dec, h->frame);
+    if (ret == 0) {
+      uint8_t* dst[1] = {rgb_out};
+      int dst_linesize[1] = {3 * h->width};
+      sws_scale(h->sws, h->frame->data, h->frame->linesize, 0, h->height, dst,
+                dst_linesize);
+      av_frame_unref(h->frame);
+      return true;
+    }
+    if (ret == AVERROR_EOF) return false;
+    if (ret != AVERROR(EAGAIN)) return false;
+    // Need more input.
+    while (true) {
+      ret = av_read_frame(h->fmt, h->pkt);
+      if (ret < 0) {
+        // Flush.
+        avcodec_send_packet(h->dec, nullptr);
+        break;
+      }
+      if (h->pkt->stream_index == h->stream_index) {
+        avcodec_send_packet(h->dec, h->pkt);
+        av_packet_unref(h->pkt);
+        break;
+      }
+      av_packet_unref(h->pkt);
+    }
+  }
+}
+
+void prefetch_loop(VideoHandle* h) {
+  const size_t frame_bytes = size_t(h->width) * h->height * 3;
+  while (!h->stop.load()) {
+    std::vector<uint8_t> buf(frame_bytes);
+    if (!decode_next_into(h, buf.data())) {
+      std::lock_guard<std::mutex> lk(h->mu);
+      h->eof = true;
+      h->cv_empty.notify_all();
+      return;
+    }
+    std::unique_lock<std::mutex> lk(h->mu);
+    h->cv_full.wait(
+        lk, [h] { return h->ready.size() < h->ring_capacity || h->stop.load(); });
+    if (h->stop.load()) return;
+    h->ready.emplace_back(std::move(buf));
+    h->cv_empty.notify_all();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* md_open(const char* path) {
+  auto* h = new VideoHandle();
+  if (avformat_open_input(&h->fmt, path, nullptr, nullptr) < 0) {
+    delete h;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(h->fmt, nullptr) < 0) {
+    avformat_close_input(&h->fmt);
+    delete h;
+    return nullptr;
+  }
+  const AVCodec* codec = nullptr;
+  h->stream_index =
+      av_find_best_stream(h->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+  if (h->stream_index < 0 || !codec) {
+    avformat_close_input(&h->fmt);
+    delete h;
+    return nullptr;
+  }
+  AVStream* st = h->fmt->streams[h->stream_index];
+  h->dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(h->dec, st->codecpar);
+  h->dec->thread_count = 0;  // auto
+  if (avcodec_open2(h->dec, codec, nullptr) < 0) {
+    avcodec_free_context(&h->dec);
+    avformat_close_input(&h->fmt);
+    delete h;
+    return nullptr;
+  }
+  h->width = h->dec->width;
+  h->height = h->dec->height;
+  AVRational fr = av_guess_frame_rate(h->fmt, st, nullptr);
+  h->fps = fr.den ? double(fr.num) / fr.den : 0.0;
+  h->nframes = st->nb_frames > 0 ? st->nb_frames : -1;
+  h->sws = sws_getContext(h->width, h->height, h->dec->pix_fmt, h->width,
+                          h->height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                          nullptr, nullptr);
+  h->pkt = av_packet_alloc();
+  h->frame = av_frame_alloc();
+  return h;
+}
+
+void md_info(void* vh, int* w, int* hgt, double* fps, long long* nframes) {
+  auto* h = static_cast<VideoHandle*>(vh);
+  *w = h->width;
+  *hgt = h->height;
+  *fps = h->fps;
+  *nframes = h->nframes;
+}
+
+// Synchronous read of up to max_frames RGB24 frames into out. Returns count.
+int md_read_frames(void* vh, unsigned char* out, int max_frames) {
+  auto* h = static_cast<VideoHandle*>(vh);
+  const size_t frame_bytes = size_t(h->width) * h->height * 3;
+  int n = 0;
+  while (n < max_frames) {
+    if (!decode_next_into(h, out + size_t(n) * frame_bytes)) break;
+    ++n;
+  }
+  return n;
+}
+
+// Start background prefetch with a ring of `capacity` decoded frames.
+void md_start_prefetch(void* vh, int capacity) {
+  auto* h = static_cast<VideoHandle*>(vh);
+  if (h->prefetching) return;
+  h->ring_capacity = capacity > 0 ? size_t(capacity) : 8;
+  h->stop.store(false);
+  h->prefetching = true;
+  h->worker = std::thread(prefetch_loop, h);
+}
+
+// Pop up to max_frames prefetched frames (blocks until ≥1 or EOF). Returns
+// count (0 = EOF).
+int md_next_frames(void* vh, unsigned char* out, int max_frames) {
+  auto* h = static_cast<VideoHandle*>(vh);
+  const size_t frame_bytes = size_t(h->width) * h->height * 3;
+  std::unique_lock<std::mutex> lk(h->mu);
+  h->cv_empty.wait(lk, [h] { return !h->ready.empty() || h->eof; });
+  int n = 0;
+  while (n < max_frames && !h->ready.empty()) {
+    std::memcpy(out + size_t(n) * frame_bytes, h->ready.front().data(),
+                frame_bytes);
+    h->ready.pop_front();
+    ++n;
+  }
+  h->cv_full.notify_all();
+  return n;
+}
+
+void md_close(void* vh) {
+  auto* h = static_cast<VideoHandle*>(vh);
+  if (h->prefetching) {
+    h->stop.store(true);
+    h->cv_full.notify_all();
+    h->cv_empty.notify_all();
+    if (h->worker.joinable()) h->worker.join();
+  }
+  if (h->sws) sws_freeContext(h->sws);
+  if (h->frame) av_frame_free(&h->frame);
+  if (h->pkt) av_packet_free(&h->pkt);
+  if (h->dec) avcodec_free_context(&h->dec);
+  if (h->fmt) avformat_close_input(&h->fmt);
+  delete h;
+}
+
+// Decode the first audio stream to mono float PCM at its native rate.
+// Fills out[0..max_samples); returns samples written (≥0) or -1 on error.
+// *sample_rate receives the stream rate.
+long long md_read_audio(const char* path, float* out, long long max_samples,
+                        int* sample_rate) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  const AVCodec* codec = nullptr;
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &codec, 0);
+  if (si < 0 || !codec) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  AVStream* st = fmt->streams[si];
+  AVCodecContext* dec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(dec, st->codecpar);
+  if (avcodec_open2(dec, codec, nullptr) < 0) {
+    avcodec_free_context(&dec);
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  *sample_rate = dec->sample_rate;
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, dec->sample_rate,
+                      &dec->ch_layout, dec->sample_fmt, dec->sample_rate, 0,
+                      nullptr);
+  swr_init(swr);
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  long long written = 0;
+  bool flushed = false;
+  while (written < max_samples) {
+    int ret = avcodec_receive_frame(dec, frame);
+    if (ret == 0) {
+      uint8_t* outp[1] = {reinterpret_cast<uint8_t*>(out + written)};
+      int space = int(max_samples - written);
+      int got = swr_convert(swr, outp, space,
+                            const_cast<const uint8_t**>(frame->data),
+                            frame->nb_samples);
+      if (got > 0) written += got;
+      av_frame_unref(frame);
+      continue;
+    }
+    if (ret == AVERROR_EOF) break;
+    if (ret != AVERROR(EAGAIN)) break;
+    if (flushed) break;
+    while (true) {
+      ret = av_read_frame(fmt, pkt);
+      if (ret < 0) {
+        avcodec_send_packet(dec, nullptr);
+        flushed = true;
+        break;
+      }
+      if (pkt->stream_index == si) {
+        avcodec_send_packet(dec, pkt);
+        av_packet_unref(pkt);
+        break;
+      }
+      av_packet_unref(pkt);
+    }
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  swr_free(&swr);
+  avcodec_free_context(&dec);
+  avformat_close_input(&fmt);
+  return written;
+}
+
+}  // extern "C"

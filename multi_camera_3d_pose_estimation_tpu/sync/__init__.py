@@ -1,0 +1,11 @@
+"""Audio-based multi-camera video synchronization (host glue)."""
+
+from .audio import decode_audio, get_loudest_point
+from .videos import synchronize_videos, compute_sync_frame_indices
+
+__all__ = [
+    "decode_audio",
+    "get_loudest_point",
+    "synchronize_videos",
+    "compute_sync_frame_indices",
+]

@@ -1,0 +1,161 @@
+"""Multi-camera video synchronization by audio peak + fps-drift compensation.
+
+Behaviour parity with the reference's `synchronize_videos`
+(synchronize_videos.py:198-286), redesigned headless-first:
+
+- Audio extraction is the native libav decoder (no moviepy temp WAVs).
+- The loudest-sample time per video → sync frame index via that video's fps
+  (synchronize_videos.py:208).
+- The interactive ±5-frame grid pick (display_and_select_frame,
+  :142-193) is replaced by the already-present non-interactive override
+  (``adjusted_sync_frame_indices``, the parameter the reference itself
+  exposes at :198); an optional ``frame_picker`` callback reinstates the
+  human-in-the-loop without baking a GUI into the library.
+- Trim to the common overlap from each video's sync frame, compensating
+  fps mismatch by duplicating the previous frame at rate
+  max_fps/(max_fps − fps) (:250-263), writing ``*_synced.mp4``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..io.frames import VideoReader
+from .audio import get_loudest_point
+
+__all__ = ["synchronize_videos", "compute_sync_frame_indices"]
+
+
+def compute_sync_frame_indices(video_paths, search_seconds: float = 30.0):
+    """Per-video frame index of the loudest audio moment."""
+    indices = []
+    fps_list = []
+    for path in video_paths:
+        t = get_loudest_point(path, search_seconds=search_seconds)
+        r = VideoReader(path, prefetch=0)
+        fps = r.fps
+        r.close()
+        indices.append(int(t * fps))
+        fps_list.append(fps)
+    return indices, fps_list
+
+
+def synchronize_videos(
+    video_paths,
+    save_as_files: bool = True,
+    adjusted_sync_frame_indices=None,
+    delete_originals: bool = False,
+    frame_picker=None,
+    max_frames: int | None = None,
+):
+    """Returns ``(synchronized_frames, output_paths)`` like the reference.
+
+    ``synchronized_frames``: list over time of ``[frame_cam0, ...]`` (BGR,
+    matching the cv2 convention downstream code expects).
+    ``frame_picker(sync_indices, video_paths) -> indices`` optionally
+    adjusts the audio-derived indices (the interactive hook).
+    """
+    if adjusted_sync_frame_indices is None:
+        sync_indices, fps_list = compute_sync_frame_indices(video_paths)
+        if frame_picker is not None:
+            sync_indices = frame_picker(sync_indices, video_paths)
+            if sync_indices is None:
+                return None
+        adjusted_sync_frame_indices = sync_indices
+    else:
+        fps_list = []
+        for path in video_paths:
+            r = VideoReader(path, prefetch=0)
+            fps_list.append(r.fps)
+            r.close()
+
+    readers = [VideoReader(p, bgr=True) for p in video_paths]
+    totals = [r.n_frames for r in readers]
+    known_totals = [t for t in totals if t > 0]
+    overlap = (
+        min(t - s for t, s in zip(totals, adjusted_sync_frame_indices))
+        if len(known_totals) == len(totals)
+        else None
+    )
+    if max_frames is not None:
+        overlap = max_frames if overlap is None else min(overlap, max_frames)
+
+    # Skip to each sync frame (sequential decode — no seek dependency).
+    for r, start in zip(readers, adjusted_sync_frame_indices):
+        remaining = start
+        while remaining > 0:
+            got = r.read_block(min(remaining, 64)).shape[0]
+            if got == 0:
+                break
+            remaining -= got
+
+    writers = None
+    output_paths = None
+    if save_as_files:
+        import cv2
+
+        output_paths = [
+            os.path.join(
+                os.path.dirname(p),
+                os.path.splitext(os.path.basename(p))[0] + "_synced.mp4",
+            )
+            for p in video_paths
+        ]
+        writers = [
+            cv2.VideoWriter(
+                out,
+                cv2.VideoWriter_fourcc(*"mp4v"),
+                fps,
+                (r.width, r.height),
+            )
+            for out, fps, r in zip(output_paths, fps_list, readers)
+        ]
+
+    max_fps = max(fps_list)
+    adjustment_rates = [
+        max_fps / (max_fps - fps) if max_fps != fps else np.inf for fps in fps_list
+    ]
+    adjustments_made = [0] * len(readers)
+
+    synchronized_frames = []
+    previous_frames = None
+    frame_idx = 0
+    while overlap is None or frame_idx < overlap:
+        frames = []
+        ok = True
+        for i, r in enumerate(readers):
+            if (
+                previous_frames is not None
+                and frame_idx >= (adjustments_made[i] + 1) * adjustment_rates[i]
+            ):
+                # Slow camera: duplicate its previous frame to stay in step
+                # (reference :256-259).
+                frame = previous_frames[i]
+                adjustments_made[i] += 1
+            else:
+                block = r.read_block(1)
+                if block.shape[0] == 0:
+                    ok = False
+                    break
+                frame = block[0]
+            frames.append(frame)
+        if not ok or len(frames) != len(readers):
+            break
+        synchronized_frames.append(frames)
+        if writers is not None:
+            for w, f in zip(writers, frames):
+                w.write(np.ascontiguousarray(f))
+        previous_frames = frames
+        frame_idx += 1
+
+    for r in readers:
+        r.close()
+    if writers is not None:
+        for w in writers:
+            w.release()
+    if delete_originals:
+        for p in video_paths:
+            os.remove(p)
+    return synchronized_frames, output_paths

@@ -1,0 +1,81 @@
+"""Full-pipeline test: synthetic videos → estimation entry → artifacts.
+
+The minimum end-to-end slice of SURVEY.md §7 as one test: camera params on
+disk, multi-camera videos through the native decoder, the jitted
+crop→model→decode→triangulate pipeline, npy artifacts with the reference's
+wire shapes, then the refinement CLI consuming them.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from multi_camera_3d_pose_estimation_tpu.cli import estimate_pose_from_video
+from multi_camera_3d_pose_estimation_tpu.io import (
+    read_recording_log,
+    save_camera_intrinsics,
+    save_extrinsic_calibration_parameters,
+    save_camera_names,
+    write_recording_log,
+)
+
+
+@pytest.fixture
+def project(tmp_path, rng):
+    """2 cameras with params on disk + 8-frame synced videos."""
+    K = np.array([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1]])
+    for c, name in enumerate(("left", "right")):
+        save_camera_intrinsics(K, np.zeros((1, 5)), name, root_path=str(tmp_path))
+        th = np.deg2rad(-10 + 20 * c)
+        R = np.array(
+            [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]]
+        )
+        T = np.array([20.0 * c - 10, 0.0, 5.0 * c]).reshape(3, 1)
+        save_extrinsic_calibration_parameters(R, T, name, root_dir=str(tmp_path))
+    save_camera_names({0: "left", 1: "right"}, "left", str(tmp_path))
+
+    rec_dir = tmp_path / "recordings"
+    rec_dir.mkdir()
+    paths = []
+    for name in ("left", "right"):
+        p = str(rec_dir / f"{name}_synced.mp4")
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 15.0, (160, 120))
+        for i in range(8):
+            frame = (rng.uniform(0, 255, (120, 160, 3))).astype(np.uint8)
+            vw.write(frame)
+        vw.release()
+        paths.append(p)
+    return tmp_path, paths
+
+
+def test_estimate_pose_from_video_artifacts(project):
+    tmp_path, paths = project
+    kpts_2d, heatmaps, kpts_3d = estimate_pose_from_video(
+        paths,
+        project_dir=str(tmp_path),
+        pose_estimation_model="test_tiny",
+        block_size=4,
+        conf_threshold=-1.0,  # random weights: keep every joint
+    )
+    # Reference wire shapes (SURVEY.md §1).
+    assert kpts_2d.shape == (8, 17, 3, 2)
+    assert heatmaps.shape == (8, 2, 17, 6)
+    assert kpts_3d.shape == (8, 17, 3)
+    rec_dir = os.path.dirname(paths[0])
+    for name in ("kpts_2d.npy", "heatmaps_2d.npy", "kpts_3d.npy"):
+        assert os.path.exists(os.path.join(rec_dir, name))
+
+    # Artifact reuse path (reference reuse-or-recompute, pose_estimation.py:286).
+    k2_again, _, _ = estimate_pose_from_video(
+        paths, project_dir=str(tmp_path), pose_estimation_model="test_tiny"
+    )
+    np.testing.assert_array_equal(k2_again, kpts_2d)
+
+    # Manifest round-trip.
+    log_path = write_recording_log(rec_dir, paths, "test_tiny", "full_frame")
+    log = read_recording_log(log_path)
+    assert log["estimator_model"] == "test_tiny"
+    assert log["kpts_2d"].endswith("kpts_2d.npy")

@@ -1,0 +1,141 @@
+"""Native media runtime + frame IO + sync tests (host glue, SURVEY.md §4).
+
+Test videos are written with cv2 (mp4v); audio fixtures are PCM WAVs read
+back through the native libav decoder.
+"""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from multi_camera_3d_pose_estimation_tpu.io.frames import (
+    BatchedFramePipeline,
+    VideoReader,
+    frame_generator,
+    write_keypoints_to_disk,
+)
+from multi_camera_3d_pose_estimation_tpu.native import load_mediadec
+from multi_camera_3d_pose_estimation_tpu.sync import (
+    decode_audio,
+    get_loudest_point,
+    synchronize_videos,
+)
+
+
+def write_test_video(path, n_frames=20, w=64, h=48, fps=15.0):
+    """Each frame's red channel encodes its index (value 10*i mod 250)."""
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert vw.isOpened()
+    for i in range(n_frames):
+        frame = np.zeros((h, w, 3), np.uint8)
+        frame[..., 2] = (10 * i) % 250  # BGR red channel
+        vw.write(frame)
+    vw.release()
+    return str(path)
+
+
+def write_test_wav(path, sr=8000, seconds=2.0, peak_at=1.25):
+    t = np.arange(int(sr * seconds)) / sr
+    y = 0.05 * np.sin(2 * np.pi * 440 * t)
+    y[int(peak_at * sr)] = 0.9  # the clap
+    data = (y * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+    return str(path)
+
+
+def test_native_library_builds():
+    assert load_mediadec() is not None, "libmediadec.so failed to build/load"
+
+
+def test_video_reader_native(tmp_path):
+    path = write_test_video(tmp_path / "a.mp4", n_frames=12)
+    r = VideoReader(path)
+    assert (r.width, r.height) == (64, 48)
+    assert abs(r.fps - 15.0) < 0.5
+    block = r.read_block(8)
+    assert block.shape == (8, 48, 64, 3)
+    # Frame i red channel ≈ 10*i (mp4 lossy — generous tolerance).
+    for i in range(8):
+        assert abs(int(block[i, :, :, 0].mean()) - 10 * i) < 12, i
+    rest = r.read_block(100)
+    assert rest.shape[0] == 4
+    assert r.read_block(4).shape[0] == 0  # EOF
+    r.close()
+
+
+def test_video_reader_bgr_flag(tmp_path):
+    path = write_test_video(tmp_path / "b.mp4", n_frames=3)
+    rgb = VideoReader(path).read_block(1)[0]
+    bgr = VideoReader(path, bgr=True).read_block(1)[0]
+    np.testing.assert_array_equal(rgb[..., 0], bgr[..., 2])
+
+
+def test_frame_generator_stops_at_shortest(tmp_path):
+    p1 = write_test_video(tmp_path / "c1.mp4", n_frames=10)
+    p2 = write_test_video(tmp_path / "c2.mp4", n_frames=6)
+    frames = list(frame_generator([p1, p2]))
+    assert len(frames) == 6
+    assert len(frames[0]) == 2
+    assert frames[0][0].shape == (48, 64, 3)
+
+
+def test_batched_pipeline_blocks(tmp_path):
+    p1 = write_test_video(tmp_path / "d1.mp4", n_frames=10)
+    p2 = write_test_video(tmp_path / "d2.mp4", n_frames=10)
+    pipe = BatchedFramePipeline([p1, p2], block_size=4)
+    blocks = list(pipe)
+    pipe.close()
+    total = sum(n for _, n in blocks)
+    assert total == 10
+    assert all(np.asarray(b).shape == (4, 2, 48, 64, 3) for b, _ in blocks)
+
+
+def test_decode_audio_wav_native(tmp_path):
+    path = write_test_wav(tmp_path / "a.wav")
+    y, sr = decode_audio(path)
+    assert sr == 8000
+    assert len(y) > 8000
+    t = get_loudest_point(path)
+    assert abs(t - 1.25) < 0.01
+
+
+def test_get_loudest_point_raw_samples():
+    sr = 1000
+    y = np.zeros(3000)
+    y[1700] = 1.0
+    assert abs(get_loudest_point(y, sr=sr) - 1.7) < 1e-9
+
+
+def test_synchronize_videos_offsets(tmp_path):
+    # Camera 1 "started" 3 frames earlier: same content shifted.
+    p1 = write_test_video(tmp_path / "s1.mp4", n_frames=15)
+    p2 = write_test_video(tmp_path / "s2.mp4", n_frames=12)
+    frames, outputs = synchronize_videos(
+        [p1, p2], adjusted_sync_frame_indices=[3, 0], save_as_files=True
+    )
+    assert len(frames) == 12  # min(15-3, 12-0)
+    # Synced frame 0: video 1 at index 3, video 2 at index 0.
+    assert abs(int(frames[0][0][..., 2].mean()) - 30) < 12
+    assert abs(int(frames[0][1][..., 2].mean()) - 0) < 12
+    for out in outputs:
+        assert os.path.exists(out)
+        r = VideoReader(out)
+        assert r.n_frames == 12 or r.n_frames < 0
+        r.close()
+
+
+def test_write_keypoints_to_disk(tmp_path):
+    path = str(tmp_path / "k.txt")
+    write_keypoints_to_disk(path, np.arange(12).reshape(2, 3, 2))
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 2
+    assert lines[0].split() == [str(float(v)) for v in range(6)] or \
+        lines[0].split() == [str(v) for v in range(6)]
