@@ -27,30 +27,41 @@ def main():
     from __graft_entry__ import _build_pipeline
     from multi_camera_3d_pose_estimation_tpu.models import HRNET_W32
 
-    T, C, H, W = 16, 2, 256, 256  # 16 frames x 2 cameras per step
+    T, C, H, W = 128, 2, 256, 256  # 128 frames x 2 cameras per step
     frames_shape = (T, C, H, W, 3)
     pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
 
+    # Rotate distinct device-resident input buffers so no runtime-level
+    # result caching can fake the measurement, and chain a scalar readback
+    # through an accumulator so steps execute sequentially.
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.uniform(size=frames_shape), jnp.float32)
-    bboxes = jnp.tile(
-        jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1)
+    n_buf = 2
+    frames_list = [
+        jax.device_put(jnp.asarray(rng.uniform(size=frames_shape), jnp.float32))
+        for _ in range(n_buf)
+    ]
+    for f in frames_list:
+        f.block_until_ready()
+    bboxes = jax.device_put(
+        jnp.tile(jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1))
     )
     variables = pipe.estimator.variables
 
-    def step(variables, frames, bboxes):
+    def step(frames):
         return pipe._run(variables, frames, bboxes, pipe.cam_stack)
 
     # Warmup / compile.
-    out = step(variables, frames, bboxes)
+    out = step(frames_list[0])
     jax.block_until_ready(out["kpts_3d"])
 
     # Timed steady state.
-    n_iters = 10
+    n_iters = 20
+    acc = jnp.zeros(())
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step(variables, frames, bboxes)
-    jax.block_until_ready(out["kpts_3d"])
+    for i in range(n_iters):
+        out = step(frames_list[i % n_buf])
+        acc = acc + jnp.sum(out["kpts_3d"])
+    acc.block_until_ready()
     dt = time.perf_counter() - t0
 
     fps = (T * n_iters) / dt  # multi-camera frames (2 views each) per sec

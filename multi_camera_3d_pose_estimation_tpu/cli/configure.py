@@ -126,14 +126,19 @@ def configure_cameras(
     config_num = create_new_numbered_folder(config_root)
     config_dir = os.path.join(config_root, str(config_num))
 
-    # Checkerboard target image sized to the display.
+    # Checkerboard target image sized to the display — reference YAML schema
+    # (examples/checkerboard_display_parameters.yaml: r, c, boarder(sic),
+    # height, width, width_mm).
     disp = load_config(checkerboard_display_parameter_yaml)
     if disp:
+        disp_w = int(disp.get("width", 1920))
+        disp_h = int(disp.get("height", 1080))
         img, k = create_checkerboard_image(
-            rows + 1,
-            columns + 1,
-            int(disp.get("display_width_pixels", 1920)),
-            int(disp.get("display_height_pixels", 1080)),
+            int(disp.get("r", rows + 1)),
+            int(disp.get("c", columns + 1)),
+            disp_w,
+            disp_h,
+            border_px=int(disp.get("boarder", disp.get("border", 10))),
         )
         try:
             import cv2
@@ -141,9 +146,10 @@ def configure_cameras(
             cv2.imwrite(os.path.join(config_dir, "checkerboard.jpg"), img)
         except Exception:
             pass
-        ppmm = disp.get("pixels_per_mm")
-        if square_cm is None and ppmm:
-            square_cm = checkerboard_square_size_cm(k, float(ppmm))
+        width_mm = disp.get("width_mm")
+        if square_cm is None and width_mm:
+            ppmm = disp_w / float(width_mm)
+            square_cm = checkerboard_square_size_cm(k, ppmm)
     square_cm = float(square_cm or 1.0)
 
     if camera_names is None:

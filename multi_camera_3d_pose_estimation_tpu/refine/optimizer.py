@@ -33,6 +33,7 @@ Deliberate fidelity notes:
 from __future__ import annotations
 
 import dataclasses
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any
@@ -81,6 +82,9 @@ class RefineConfig:
     use_NN: bool = False
     grad_clip: float = 1.0
     camera0_gaussians_compat: bool = False
+    print_frequency: int = 100
+    verbose: bool = False
+    checkpoint_every: int | None = None
 
 
 @dataclass
@@ -186,6 +190,8 @@ class PoseRefiner:
         GT_camera_IDs=None,
         time_interval=(0, -1),
         seed: int = 0,
+        checkpoint_dir: str | None = None,
+        resume: bool = False,
         **kwargs,
     ) -> RefineResult:
         """Run the jitted Adam refinement; returns the best-cost snapshot.
@@ -285,13 +291,7 @@ class PoseRefiner:
             params = _randomize(kr, params, cfg, learn_mask, learn_extr)
 
         cost_names = _cost_names(cfg, use_bl, learning_from_samples)
-        out = _run_refinement(
-            cfg,
-            tuple(cost_names),
-            bool(use_bl),
-            bool(learning_from_samples),
-            int(B),
-            params,
+        data = (
             jnp.asarray(starts),
             means,
             cov_inv,
@@ -304,7 +304,54 @@ class PoseRefiner:
             jnp.asarray(e_end),
             jnp.asarray(e_target, self.dtype),
         )
-        best_params, best_total, hist, n_iter = out
+        statics = (cfg, tuple(cost_names), bool(use_bl), bool(learning_from_samples), int(B))
+
+        tx = _clip_and_adam(cfg.grad_clip, cfg.lr, cfg.betas)
+        hist0 = jnp.zeros((cfg.max_iter + 2, len(cost_names)), means.dtype)
+        carry = (
+            params,
+            tx.init(params),
+            params,
+            jnp.asarray(jnp.inf, means.dtype),
+            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            hist0,
+        )
+        ckpt_path = (
+            os.path.join(checkpoint_dir, "refine_state.npz") if checkpoint_dir else None
+        )
+        if resume and ckpt_path and os.path.exists(ckpt_path):
+            carry = _load_carry(ckpt_path, carry)
+            print(f"resumed refinement at epoch {int(carry[5])} from {ckpt_path}")
+
+        # Host-stepped blocks of on-device epochs: one call when neither
+        # progress printing nor checkpointing is requested (zero overhead),
+        # otherwise min(print_frequency, checkpoint_every)-epoch blocks.
+        block = cfg.max_iter + 2
+        if cfg.verbose:
+            block = min(block, max(cfg.print_frequency, 1))
+        if cfg.checkpoint_every:
+            block = min(block, cfg.checkpoint_every)
+        while True:
+            it = int(carry[5])
+            block_end = jnp.asarray(min(it + block, cfg.max_iter + 1), jnp.int32)
+            carry = _run_refinement(*statics, carry, block_end, *data)
+            it, no_imp = int(carry[5]), int(carry[4])
+            if cfg.verbose and it > 0:
+                vals = np.asarray(carry[6][it - 1])
+                line = ", ".join(
+                    f"{n}: {v:.2e}" for n, v in zip(cost_names, vals)
+                )
+                print(f"Iteration {it - 1}: {line}")
+            if ckpt_path:
+                _save_carry(ckpt_path, carry)
+            if no_imp >= cfg.patience:
+                if cfg.verbose:
+                    print(f"Early stopping at iteration {it - 1}.")
+                break
+            if it > cfg.max_iter:
+                break
+        _, _, best_params, best_total, _, n_iter, hist = carry
         n_iter = int(n_iter)
 
         best_traj = np.asarray(best_params["trajectory"], np.float64)
@@ -328,6 +375,42 @@ class PoseRefiner:
             n_iter=n_iter,
             best_total_cost=float(best_total),
         )
+
+
+def _save_carry(path: str, carry) -> None:
+    """Flat-npz snapshot of the full optimizer state (params, Adam moments,
+    best snapshot, counters, cost history) — artifact-level checkpoint/
+    resume for long refinement runs (SURVEY.md §5)."""
+    leaves, _ = jax.tree.flatten(carry)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **{f"c{i}": np.asarray(v) for i, v in enumerate(leaves)})
+    os.replace(tmp, path)
+
+
+def _load_carry(path: str, template):
+    flat = np.load(path)
+    leaves, treedef = jax.tree.flatten(template)
+    restored = []
+    for i, leaf in enumerate(leaves):
+        arr = jnp.asarray(flat[f"c{i}"])
+        want = jnp.shape(leaf)
+        if arr.shape != want:
+            # The cost-history buffer is sized (max_iter + 2, n_costs):
+            # resuming with a LARGER max_iter than the checkpointed run is
+            # legitimate — copy the recorded prefix into the bigger buffer.
+            if (
+                arr.ndim == len(want)
+                and arr.shape[1:] == want[1:]
+                and arr.shape[0] < want[0]
+            ):
+                arr = jnp.asarray(leaf).at[: arr.shape[0]].set(arr)
+            else:
+                raise ValueError(
+                    f"checkpoint leaf {i} shape {arr.shape} != expected "
+                    f"{want} — config/data changed since checkpoint"
+                )
+        restored.append(arr.astype(jnp.asarray(leaf).dtype))
+    return jax.tree.unflatten(treedef, restored)
 
 
 def _cost_names(cfg: RefineConfig, use_bl: bool, from_samples: bool):
@@ -393,7 +476,8 @@ def _run_refinement(
     use_bl: bool,
     from_samples: bool,
     batch_size: int,
-    params,
+    carry_in,
+    block_end,
     starts,
     means,
     cov_inv,
@@ -406,17 +490,17 @@ def _run_refinement(
     e_end,
     e_target,
 ):
-    """The whole Adam refinement as one compiled program.
+    """A block of Adam refinement epochs as one compiled program.
 
-    while_loop(epochs) ∘ scan(overlapping windows) ∘ grad(fused cost).
-    Carry: (params, opt_state, best_params, best_total, no_improve, epoch,
-    cost history buffer).
+    while_loop(epochs until patience/max_iter/block_end) ∘ scan(overlapping
+    windows) ∘ grad(fused cost).  Carry: (params, opt_state, best_params,
+    best_total, no_improve, epoch, cost history buffer) — passed in/out so
+    the host can interleave progress printing and checkpointing between
+    blocks without touching the on-device loop.
     """
     B = batch_size
     J = means.shape[2]
-    n_costs = len(cost_names)
     tx = _clip_and_adam(cfg.grad_clip, cfg.lr, cfg.betas)
-    opt_state = tx.init(params)
 
     def window_loss(p, start):
         z = jnp.asarray(0, start.dtype)
@@ -511,20 +595,9 @@ def _run_refinement(
 
     def cond(carry):
         _, _, _, _, no_imp, it, _ = carry
-        return (no_imp < cfg.patience) & (it <= cfg.max_iter)
+        return (no_imp < cfg.patience) & (it <= cfg.max_iter) & (it < block_end)
 
-    hist0 = jnp.zeros((cfg.max_iter + 2, n_costs), means.dtype)
-    init = (
-        params,
-        opt_state,
-        params,
-        jnp.asarray(jnp.inf, means.dtype),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
-        hist0,
-    )
-    _, _, best_p, best_total, _, it, hist = jax.lax.while_loop(cond, epoch, init)
-    return best_p, best_total, hist, it
+    return jax.lax.while_loop(cond, epoch, carry_in)
 
 
 def _sample_cost(

@@ -186,3 +186,35 @@ def test_use_nn_path_runs(rng):
     )
     assert res.trajectory.shape == traj.shape
     assert np.isfinite(res.cost_history["total_cost"]).all()
+
+
+def test_checkpoint_resume(tmp_path, rng):
+    """Interrupted refinement resumes from the npz state checkpoint."""
+    traj, cams, gauss = make_scene(rng, T=16, J=4)
+    noisy = traj + rng.normal(0, 2.0, traj.shape)
+    common = dict(lr=0.05, patience=10**6, lambda_smooth=0.0,
+                  lambda_body_length=0.0, checkpoint_every=10)
+
+    # Uninterrupted run: 60 epochs.
+    ref_a = PoseRefiner(gauss, noisy, {k: [p.copy() for p in v] for k, v in cams.items()})
+    res_a = ref_a.sgd_optimize(max_iter=59, **common)
+
+    # Interrupted at 30 epochs, then resumed to 60.
+    ckpt = str(tmp_path)
+    ref_b = PoseRefiner(gauss, noisy, {k: [p.copy() for p in v] for k, v in cams.items()})
+    ref_b.sgd_optimize(max_iter=29, checkpoint_dir=ckpt, **common)
+    import os
+    assert os.path.exists(os.path.join(ckpt, "refine_state.npz"))
+    res_b = ref_b.sgd_optimize(max_iter=59, checkpoint_dir=ckpt, resume=True, **common)
+
+    assert res_b.n_iter == res_a.n_iter
+    np.testing.assert_allclose(res_b.trajectory, res_a.trajectory, rtol=1e-4, atol=1e-5)
+
+
+def test_verbose_progress_prints(rng, capsys):
+    traj, cams, gauss = make_scene(rng, T=10, J=3)
+    ref = PoseRefiner(gauss, traj + rng.normal(0, 1, traj.shape), cams)
+    ref.sgd_optimize(lr=0.01, max_iter=25, patience=10**6, verbose=True,
+                     print_frequency=10, lambda_smooth=0.0, lambda_body_length=0.0)
+    out = capsys.readouterr().out
+    assert "Iteration" in out and "total_cost" in out
