@@ -21,6 +21,12 @@ from .checkerboard import (
     board_object_points,
 )
 from .corners import find_checkerboard_corners, refine_corners_subpixel
+from .verify import (
+    draw_world_axes,
+    check_calibration,
+    get_world_space_origin,
+    get_cam1_to_world_transforms,
+)
 
 __all__ = [
     "levenberg_marquardt",
@@ -37,4 +43,8 @@ __all__ = [
     "board_object_points",
     "find_checkerboard_corners",
     "refine_corners_subpixel",
+    "draw_world_axes",
+    "check_calibration",
+    "get_world_space_origin",
+    "get_cam1_to_world_transforms",
 ]

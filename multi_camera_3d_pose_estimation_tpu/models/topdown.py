@@ -122,6 +122,7 @@ class TopDownEstimator:
         decode: str = "heatmap",
         heatmap_threshold: float = 0.01,
         bbox_padding: float = 1.25,
+        use_fused_decode: bool = False,
     ):
         if decode not in ("heatmap", "simcc"):
             raise ValueError(f"unknown decode '{decode}'")
@@ -131,8 +132,13 @@ class TopDownEstimator:
         self.decode = decode
         self.heatmap_threshold = float(heatmap_threshold)
         self.bbox_padding = float(bbox_padding)
+        # Opt-in single-pass Pallas decode (ops.pallas.fused_heatmap_decode);
+        # requires heatmap H*W % 128 == 0 and a TPU whose toolchain compiles
+        # Mosaic kernels.  Semantics identical to the jnp pair.
+        self.use_fused_decode = bool(use_fused_decode) and decode == "heatmap"
         self._predict = jax.jit(partial(_predict, model, self.input_size, decode,
-                                        self.heatmap_threshold, self.bbox_padding))
+                                        self.heatmap_threshold, self.bbox_padding,
+                                        self.use_fused_decode))
 
     def predict_batch(self, frames, bboxes=None):
         """frames (B,H,W,3) uint8/float, bboxes (B,4) or None (full frame).
@@ -152,7 +158,7 @@ class TopDownEstimator:
 
 
 def _predict(model, input_size, decode, hm_threshold, bbox_padding,
-             variables, frames, bboxes):
+             use_fused_decode, variables, frames, bboxes):
     in_w, in_h = input_size
     center, size = center_scale_from_bbox(bboxes, in_w / in_h, bbox_padding)
     crops, scale, offset = crop_frames(frames, center, size, (in_h, in_w))
@@ -161,10 +167,17 @@ def _predict(model, input_size, decode, hm_threshold, bbox_padding,
     if decode == "heatmap":
         heat = model.apply(variables, crops)  # (B, h/4, w/4, K)
         heat = jnp.moveaxis(heat, -1, 1)  # (B, K, h/4, w/4)
-        xy_hm, score = heatmap_argmax_decode(heat)
+        if use_fused_decode:
+            from ..ops.pallas import fused_heatmap_decode
+
+            moments, xy_hm, score = fused_heatmap_decode(
+                heat, threshold=hm_threshold
+            )
+        else:
+            xy_hm, score = heatmap_argmax_decode(heat)
+            moments = heatmap_moments(heat, threshold=hm_threshold)
         stride = in_h / heat.shape[-2]
         xy_crop = xy_hm * stride
-        moments = heatmap_moments(heat, threshold=hm_threshold)  # crop/stride units
         mean_crop = moments[..., :2] * stride
         cov_crop = moments[..., 2:] * stride * stride
     else:

@@ -14,6 +14,7 @@ from .triangulation import (
     triangulate_dlt,
     triangulate_points,
     triangulate_top2,
+    get_pose_3d,
 )
 from .moments import heatmap_moments
 from .simcc import simcc_decode
@@ -31,6 +32,7 @@ __all__ = [
     "triangulate_dlt",
     "triangulate_points",
     "triangulate_top2",
+    "get_pose_3d",
     "heatmap_moments",
     "simcc_decode",
     "heatmap_argmax_decode",

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from .geometry import projection_matrix
 from .undistort import undistort_points
 
-__all__ = ["triangulate_dlt", "triangulate_points", "triangulate_top2"]
+__all__ = ["triangulate_dlt", "triangulate_points", "triangulate_top2", "get_pose_3d"]
 
 
 def _dlt_system(pts_a, pts_b, P_a, P_b):
@@ -151,3 +151,69 @@ def triangulate_top2(
     P_a = Ps[top2[..., 0]]  # (...,3,4)
     P_b = Ps[top2[..., 1]]
     return triangulate_dlt(pts_a, pts_b, P_a, P_b)
+
+
+def get_pose_3d(
+    kpts_2d,
+    camera_params: dict,
+    camera_indices=None,
+    world_trans_rot=None,
+    ignore_nonlinear_distortions: bool = False,
+):
+    """Lift cached 2D keypoints to 3D — reference `get_pose_3D` entry
+    (pose_estimation.py:11-65), fully batched (BASELINE config 1: 2-cam
+    COCO-17 DLT triangulation from cached keypoints).
+
+    - ``kpts_2d``: (T, K, 3, C) reference wire layout (x, y, conf,
+      camera-last — pose_estimation.py:135).
+    - ``camera_params``: {camera_ID: [K, R, T, dist]} (the
+      `get_params_from_name` layout, utils.py:807-828).
+    - ``camera_indices``: subset of camera IDs to consider (default all).
+    - ``world_trans_rot``: optional (R_W0, T_W0) — output is rotated into
+      that world frame by R_W0⁻¹ like the reference (:60-62).
+
+    The T×K Python loop with per-joint `np.argsort(conf)[-2:]` becomes one
+    vmapped gather + batched DLT.  (The reference then indexes its camera
+    dict with subset positions — a bug when IDs aren't 0..C-1; here the
+    selected subset's own parameters are used.)
+    Returns (T, K, 3) float with NaN where fewer than two finite views.
+    """
+    import numpy as np
+
+    kpts_2d = jnp.asarray(np.asarray(kpts_2d, np.float64))
+    ids = list(camera_params.keys())
+    if camera_indices is None:
+        camera_indices = ids
+    pos = [ids.index(c) for c in camera_indices]
+
+    Ks, Rs, Ts, ds = [], [], [], []
+    for cid in camera_indices:
+        Kc, Rc, Tc, dc = camera_params[cid]
+        Ks.append(np.asarray(Kc, np.float64))
+        Rs.append(np.eye(3) if Rc is None else np.asarray(Rc, np.float64).reshape(3, 3))
+        Ts.append(np.zeros(3) if Tc is None else np.asarray(Tc, np.float64).reshape(3))
+        d = np.zeros(5) if dc is None else np.asarray(dc, np.float64).reshape(-1)[:5]
+        ds.append(np.pad(d, (0, 5 - d.size)) if d.size < 5 else d)
+    if ignore_nonlinear_distortions:
+        ds = [d * 0 for d in ds]
+
+    sub = kpts_2d[..., pos]  # (T, K, 3, C_sel)
+    xy = jnp.swapaxes(sub[:, :, :2, :], -1, -2)  # (T, K, C_sel, 2)
+    conf = (
+        sub[:, :, 2, :]  # (T, K, C_sel) — camera already last
+        if sub.shape[2] > 2
+        else jnp.ones(xy.shape[:-1], xy.dtype)
+    )
+    p3ds = triangulate_top2(
+        xy,
+        conf,
+        jnp.asarray(np.stack(Ks)),
+        jnp.asarray(np.stack(ds)),
+        jnp.asarray(np.stack(Rs)),
+        jnp.asarray(np.stack(Ts)),
+    )
+    if world_trans_rot is not None:
+        R_W0, _T_W0 = world_trans_rot
+        R_inv = jnp.linalg.inv(jnp.asarray(np.asarray(R_W0, np.float64)))
+        p3ds = jnp.einsum("ij,tpj->tpi", R_inv, p3ds)
+    return p3ds

@@ -1,7 +1,7 @@
 """Device meshes and pjit-sharded batch pipelines (SURVEY.md §2.3)."""
 
 from .mesh import make_mesh, data_sharding, replicated
-from .pipeline import ShardedPosePipeline, sharded_refine_step
+from .pipeline import ShardedPosePipeline, sharded_refine_step, run_clips_batched
 
 __all__ = [
     "make_mesh",
@@ -9,4 +9,5 @@ __all__ = [
     "replicated",
     "ShardedPosePipeline",
     "sharded_refine_step",
+    "run_clips_batched",
 ]

@@ -31,7 +31,7 @@ from ..ops.triangulation import triangulate_top2
 from ..refine.costs import likelihood_cost, nan_mean
 from .mesh import data_sharding, replicated
 
-__all__ = ["ShardedPosePipeline", "sharded_refine_step"]
+__all__ = ["ShardedPosePipeline", "sharded_refine_step", "run_clips_batched"]
 
 
 class ShardedPosePipeline:
@@ -62,6 +62,7 @@ class ShardedPosePipeline:
             estimator.decode,
             estimator.heatmap_threshold,
             estimator.bbox_padding,
+            getattr(estimator, "use_fused_decode", False),
             self.conf_threshold,
         )
         if mesh is None:
@@ -90,11 +91,11 @@ class ShardedPosePipeline:
         return self._run(self.estimator.variables, frames, jnp.asarray(bboxes), self.cam_stack)
 
 
-def _pipeline_fn(model, input_size, decode, hm_thr, pad, conf_thr,
+def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, conf_thr,
                  variables, frames, bboxes, cam):
     T, C, H, W, _ = frames.shape
     flat = frames.reshape(T * C, H, W, 3)
-    out = _predict(model, input_size, decode, hm_thr, pad,
+    out = _predict(model, input_size, decode, hm_thr, pad, use_fused,
                    variables, flat, bboxes.reshape(T * C, 4))
     kpts = out["keypoints"].reshape(T, C, -1, 3)  # (T, C, K, 3)
     gauss = out["gaussians"].reshape(T, C, -1, 6)
@@ -177,3 +178,27 @@ def sharded_refine_step(mesh, lr: float = 1e-3, betas=(0.9, 0.999),
         out_shardings=(params_sharding, None, rep),
     )
     return step_jit, tx
+
+
+def run_clips_batched(pipeline: ShardedPosePipeline, clips_frames, bboxes=None):
+    """Process multiple synchronized clips concurrently on one chip/mesh.
+
+    BASELINE config 5 ("8 synchronized 4-camera clips processed
+    concurrently"): ``clips_frames`` (n_clips, T, C, H, W, 3) folds the
+    clip axis into time for one big jitted block, then splits the results
+    back per clip.  Returns a list of per-clip result dicts.
+    """
+    clips_frames = jnp.asarray(clips_frames)
+    n_clips, T = clips_frames.shape[0], clips_frames.shape[1]
+    flat = clips_frames.reshape((n_clips * T,) + clips_frames.shape[2:])
+    flat_boxes = None
+    if bboxes is not None:
+        bboxes = jnp.asarray(bboxes)
+        flat_boxes = bboxes.reshape((n_clips * T,) + bboxes.shape[2:])
+    out = pipeline.run(flat, flat_boxes)
+    split = {}
+    for key, val in out.items():
+        split[key] = val.reshape((n_clips, T) + val.shape[1:])
+    return [
+        {key: split[key][i] for key in split} for i in range(n_clips)
+    ]

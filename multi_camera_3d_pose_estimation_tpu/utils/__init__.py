@@ -8,8 +8,10 @@ from .skeleton import (
     get_body_part_vects,
     get_body_part_lengths,
     body_length_edges,
+    change_origin,
 )
 from .keypoint_convert import convert_keypoint_definition
+from .profiling import StepTimer, trace, profile_refinement_costs
 
 __all__ = [
     "CONNECTIVITY_DICT",
@@ -19,5 +21,9 @@ __all__ = [
     "get_body_part_vects",
     "get_body_part_lengths",
     "body_length_edges",
+    "change_origin",
     "convert_keypoint_definition",
+    "StepTimer",
+    "trace",
+    "profile_refinement_costs",
 ]

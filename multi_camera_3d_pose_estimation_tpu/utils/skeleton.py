@@ -20,6 +20,7 @@ __all__ = [
     "get_body_part_vects",
     "get_body_part_lengths",
     "body_length_edges",
+    "change_origin",
 ]
 
 # Edge lists per skeleton convention (reference utils.py:1068-1074).
@@ -143,3 +144,13 @@ def body_length_edges(
         ends.append(b)
         targets.append(float(length))
     return np.array(starts, np.int32), np.array(ends, np.int32), np.array(targets, np.float64)
+
+
+def change_origin(points, height):
+    """Flip the pixel y-origin (top-left ↔ bottom-left) for (..., 2) points.
+
+    Behaviour parity with the onepose y-flip helper at
+    setup_camera_configuration.py:129-132.
+    """
+    points = jnp.asarray(points)
+    return points.at[..., 1].set(height - points[..., 1])

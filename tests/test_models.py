@@ -147,3 +147,70 @@ def test_centernet_detector_shapes():
     assert boxes.shape == (2, 4)
     assert (boxes[:, 2] >= boxes[:, 0]).all()
     assert (boxes[:, 3] >= boxes[:, 1]).all()
+
+
+def test_topdown_fused_decode_matches(hrnet_small):
+    """Pallas fused decode (interpret on CPU) ≡ jnp two-pass decode."""
+    model, variables = hrnet_small
+    frames = np.random.default_rng(7).uniform(size=(2, 96, 96, 3)).astype(np.float32)
+    # input 32x64 -> heatmap 8x16 = 128 divisible ✓
+    a = TopDownEstimator(model, variables, input_size=(32, 64), decode="heatmap")
+    b = TopDownEstimator(model, variables, input_size=(32, 64), decode="heatmap",
+                         use_fused_decode=True)
+    oa = a.predict_batch(frames)
+    ob = b.predict_batch(frames)
+    np.testing.assert_allclose(
+        np.asarray(oa["keypoints"]), np.asarray(ob["keypoints"]), rtol=1e-4, atol=1e-4
+    )
+    # Raw-moment centering (fused) vs two-pass: tiny absolute slack on
+    # near-zero covariance terms (values up to ~5e3 in the same rows).
+    np.testing.assert_allclose(
+        np.asarray(oa["gaussians"]), np.asarray(ob["gaussians"]), rtol=1e-3, atol=1e-2
+    )
+
+
+def test_torch_hrnet_converter_roundtrip(tmp_path, hrnet_small):
+    """A synthetic torch state dict (built from our param order) loads back
+    into an identical pytree — exercises the order/shape mapping."""
+    torch = pytest.importorskip("torch")
+    import jax
+    from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_hrnet
+
+    model, variables = hrnet_small
+    rng = np.random.default_rng(0)
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+
+    state = {}
+    conv_i = bn_i = 0
+    # First pass: convs in traversal order.
+    for p, v in flat:
+        if v.ndim == 4:
+            w = rng.normal(size=v.shape).astype(np.float32)
+            state[f"conv{conv_i}.weight"] = torch.tensor(
+                np.transpose(w, (3, 2, 0, 1))  # HWIO -> OIHW
+            )
+            conv_i += 1
+    # BN layers: scale-leaf order defines bn order.
+    names = [p for p, v in flat if p[-1].key == "scale"]
+    for i, p in enumerate(names):
+        shape = dict((tuple(str(k.key) for k in pp), vv) for pp, vv in flat)[
+            tuple(str(k.key) for k in p)
+        ].shape
+        for field in ("weight", "bias", "running_mean", "running_var"):
+            state[f"bn{i}.{field}"] = torch.tensor(
+                rng.normal(size=shape).astype(np.float32)
+            )
+    path = str(tmp_path / "fake_hrnet.pth")
+    torch.save(state, path)
+
+    restored = load_torch_hrnet(variables, path)
+    # Every conv kernel must now equal the transposed torch tensor.
+    r_flat = jax.tree_util.tree_flatten_with_path(restored)[0]
+    conv_i = 0
+    for (p, v0), (_, v1) in zip(flat, r_flat):
+        if v0.ndim == 4:
+            expect = np.transpose(
+                state[f"conv{conv_i}.weight"].numpy(), (2, 3, 1, 0)
+            )
+            np.testing.assert_allclose(np.asarray(v1), expect)
+            conv_i += 1

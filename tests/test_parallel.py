@@ -111,3 +111,21 @@ def test_sharded_refine_step_decreases_loss():
     assert np.isfinite(losses).all()
     # Extrinsics stayed replicated and finite.
     assert np.isfinite(np.asarray(params["rvecs"])).all()
+
+
+def test_run_clips_batched(small_pipeline_parts):
+    from multi_camera_3d_pose_estimation_tpu.parallel import run_clips_batched
+
+    est, cam_stack = small_pipeline_parts
+    pipe = ShardedPosePipeline(est, cam_stack, mesh=None)
+    rng = np.random.default_rng(0)
+    clips = rng.uniform(size=(3, 4, 2, 64, 64, 3)).astype(np.float32)
+    results = run_clips_batched(pipe, clips)
+    assert len(results) == 3
+    assert results[0]["kpts_3d"].shape == (4, 17, 3)
+    # Per-clip results equal the clip processed alone.
+    solo = pipe.run(clips[1])
+    np.testing.assert_allclose(
+        np.asarray(results[1]["kpts_3d"]), np.asarray(solo["kpts_3d"]),
+        rtol=1e-5, atol=1e-5, equal_nan=True,
+    )

@@ -145,3 +145,37 @@ def test_triangulate_top2_jit_and_tie_stability(camera_pair):
     fn = jax.jit(lambda k, cf: triangulate_top2(k, cf, Ks, dists, Rs, Ts, n_undistort_iter=25))
     got = np.array(fn(pix, conf))
     np.testing.assert_allclose(got, pts3d, atol=1e-2)
+
+
+def test_get_pose_3d_reference_layout(rng, camera_pair):
+    """get_pose_3D-compat entry consumes the (T, K, 3, C) wire layout."""
+    from multi_camera_3d_pose_estimation_tpu.ops import get_pose_3d
+    from tests.conftest import project_np
+
+    c = camera_pair
+    T, K = 6, 17
+    pts3d = rng.uniform([-40, -40, 260], [40, 40, 420], size=(T, K, 3))
+    proj1 = project_np(pts3d.reshape(-1, 3), c["K1"], c["R1"], c["T1"], c["d1"]).reshape(T, K, 2)
+    proj2 = project_np(pts3d.reshape(-1, 3), c["K2"], c["R2"], c["T2"], c["d2"]).reshape(T, K, 2)
+    # (T, K, 3, C) with rows x, y, conf — camera-last wire layout.
+    kpts_2d = np.stack(
+        [
+            np.stack([proj1[..., 0], proj2[..., 0]], axis=-1),
+            np.stack([proj1[..., 1], proj2[..., 1]], axis=-1),
+            np.ones((T, K, 2)),
+        ],
+        axis=2,
+    )
+    cams = {
+        "a": [c["K1"], c["R1"], c["T1"], c["d1"]],
+        "b": [c["K2"], c["R2"], c["T2"], c["d2"]],
+    }
+    p3 = np.asarray(get_pose_3d(kpts_2d, cams))
+    assert p3.shape == (T, K, 3)
+    np.testing.assert_allclose(p3, pts3d, atol=1e-3)
+
+    # World-rotation post-multiply (reference :60-62).
+    th = np.deg2rad(30)
+    R_W0 = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    p3_rot = np.asarray(get_pose_3d(kpts_2d, cams, world_trans_rot=(R_W0, np.zeros(3))))
+    np.testing.assert_allclose(p3_rot, pts3d @ np.linalg.inv(R_W0).T, atol=1e-3)
