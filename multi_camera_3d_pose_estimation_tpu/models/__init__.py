@@ -14,6 +14,7 @@ from .registry import (
 )
 from .topdown import (
     TopDownEstimator,
+    preprocess_crops,
     center_scale_from_bbox,
     crop_frames,
     IMAGENET_MEAN,
@@ -38,6 +39,7 @@ __all__ = [
     "resolve_model_name",
     "center_scale_from_bbox",
     "crop_frames",
+    "preprocess_crops",
     "IMAGENET_MEAN",
     "IMAGENET_STD",
 ]

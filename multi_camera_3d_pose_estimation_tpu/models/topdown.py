@@ -40,6 +40,7 @@ __all__ = [
     "IMAGENET_STD",
     "center_scale_from_bbox",
     "crop_frames",
+    "preprocess_crops",
     "TopDownEstimator",
 ]
 
@@ -157,12 +158,27 @@ class TopDownEstimator:
         return self._predict(self.variables, frames, jnp.asarray(bboxes, jnp.float32))
 
 
-def _predict(model, input_size, decode, hm_threshold, bbox_padding,
-             use_fused_decode, variables, frames, bboxes):
+def preprocess_crops(frames, bboxes, input_size, bbox_padding: float = 1.25):
+    """The exact crop+normalize the inference path feeds the model.
+
+    Exposed so TRAINING pipelines preprocess identically (aspect-fitted
+    padded crop, bilinear resample, ImageNet normalization) — train/deploy
+    skew here silently destroys accuracy.  Returns
+    ``(crops (B, in_h, in_w, 3), scale (B, 2), offset (B, 2))`` with
+    ``crop_xy = (img_xy - offset) * scale`` mapping image points (e.g.
+    keypoint labels) into crop pixels for target rendering.
+    """
     in_w, in_h = input_size
     center, size = center_scale_from_bbox(bboxes, in_w / in_h, bbox_padding)
     crops, scale, offset = crop_frames(frames, center, size, (in_h, in_w))
     crops = (crops - IMAGENET_MEAN) / IMAGENET_STD
+    return crops, scale, offset
+
+
+def _predict(model, input_size, decode, hm_threshold, bbox_padding,
+             use_fused_decode, variables, frames, bboxes):
+    in_w, in_h = input_size
+    crops, scale, offset = preprocess_crops(frames, bboxes, input_size, bbox_padding)
 
     if decode == "heatmap":
         heat = model.apply(variables, crops)  # (B, h/4, w/4, K)

@@ -1,0 +1,25 @@
+"""Training subsystem for the 2D models (heatmap / SimCC / detector).
+
+The reference consumes pretrained MMPose/MMDetection checkpoints
+(mmpose_pose_estimation.py:98-109); this framework's models are
+from-scratch, so training is a first-class capability instead of an
+external dependency: supervised target rendering, losses, augmentation,
+and jitted data-parallel train steps over a device mesh.
+"""
+
+from .targets import render_heatmap_targets, render_simcc_targets
+from .losses import heatmap_mse_loss, simcc_kl_loss, centernet_focal_loss
+from .augment import random_flip_pose, random_affine_params
+from .loop import make_train_step, TrainState
+
+__all__ = [
+    "render_heatmap_targets",
+    "render_simcc_targets",
+    "heatmap_mse_loss",
+    "simcc_kl_loss",
+    "centernet_focal_loss",
+    "random_flip_pose",
+    "random_affine_params",
+    "make_train_step",
+    "TrainState",
+]

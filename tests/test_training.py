@@ -1,0 +1,187 @@
+"""Training subsystem tests: targets, losses, augmentation, train steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_camera_3d_pose_estimation_tpu.models import HRNet, RTMPose
+from multi_camera_3d_pose_estimation_tpu.training import (
+    TrainState,
+    centernet_focal_loss,
+    heatmap_mse_loss,
+    make_train_step,
+    random_flip_pose,
+    render_heatmap_targets,
+    render_simcc_targets,
+    simcc_kl_loss,
+)
+from multi_camera_3d_pose_estimation_tpu.training.augment import flip_permutation
+
+SMALL_HRNET = {"widths": (8, 16, 32, 64), "modules": (1, 1, 1, 1), "stem": 16}
+SMALL_RTM = {"widen": 0.125, "deepen": 0.167, "embed": 32}
+
+
+def test_heatmap_targets_peak_and_mask(rng):
+    kp = jnp.asarray([[[10.0, 5.0], [100.0, 3.0], [4.0, 4.0]]])  # joint 1 outside
+    vis = jnp.asarray([[2.0, 2.0, 0.0]])  # joint 2 invisible
+    hm, w = render_heatmap_targets(kp, vis, (16, 24), sigma=1.5)
+    assert hm.shape == (1, 3, 16, 24)
+    np.testing.assert_allclose(np.asarray(w), [[1.0, 0.0, 0.0]])
+    m = np.asarray(hm[0, 0])
+    assert m[5, 10] == m.max() and abs(m.max() - 1.0) < 1e-6
+    assert np.asarray(hm[0, 1]).max() == 0.0  # out of bounds → zero target
+
+
+def test_simcc_targets_normalized(rng):
+    kp = jnp.asarray([[[20.0, 30.0]]])
+    vis = jnp.ones((1, 1))
+    lx, ly, w = render_simcc_targets(kp, vis, (48, 64), split_ratio=2.0, sigma=4.0)
+    assert lx.shape == (1, 1, 96) and ly.shape == (1, 1, 128)
+    np.testing.assert_allclose(np.asarray(lx).sum(), 1.0, rtol=1e-5)
+    assert np.argmax(np.asarray(lx)[0, 0]) == 40  # 20 * split_ratio
+
+
+def test_flip_permutation_swaps_lr():
+    perm = flip_permutation("coco")
+    assert perm[1] == 2 and perm[2] == 1  # eyes swap
+    assert perm[0] == 0  # nose fixed
+    assert perm[15] == 16 and perm[16] == 15  # ankles swap
+
+
+def test_random_flip_consistency(rng):
+    key = jax.random.PRNGKey(3)
+    imgs = jnp.asarray(rng.uniform(size=(4, 8, 10, 3)).astype(np.float32))
+    kps = jnp.asarray(rng.uniform(0, 10, (4, 17, 2)).astype(np.float32))
+    vis = jnp.ones((4, 17))
+    perm = flip_permutation()
+    out_i, out_k, out_v = random_flip_pose(key, imgs, kps, vis, perm, prob=1.0)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(imgs[:, :, ::-1]))
+    np.testing.assert_allclose(
+        np.asarray(out_k[:, perm][..., 0]), 10 - 1 - np.asarray(kps[..., 0]), rtol=1e-6
+    )
+
+
+def test_heatmap_train_step_learns(rng):
+    """A tiny HRNet fits one fixed heatmap batch (loss drops >50%)."""
+    model = HRNet(num_joints=4, cfg=SMALL_HRNET, dtype=jnp.float32)
+    kp = jnp.asarray(rng.uniform(2, 6, (2, 4, 2)).astype(np.float32))
+    vis = jnp.ones((2, 4))
+    targets, w = render_heatmap_targets(kp, vis, (8, 8), sigma=1.0)
+
+    def loss_fn(outputs, batch):
+        pred = jnp.moveaxis(outputs, -1, 1)  # (B, K, h, w)
+        return heatmap_mse_loss(pred, batch["targets"], batch["weights"])
+
+    init_fn, step_fn = make_train_step(model, loss_fn, learning_rate=2e-3)
+    state = init_fn(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+    batch = {
+        "images": jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)),
+        "targets": targets,
+        "weights": w,
+    }
+    losses = []
+    for _ in range(30):
+        state, loss = step_fn(state, batch)
+        losses.append(float(loss))
+    assert state.step == 30
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+def test_simcc_train_step_runs(rng):
+    model = RTMPose(num_joints=4, input_size=(32, 32), cfg=SMALL_RTM, dtype=jnp.float32)
+    kp = jnp.asarray(rng.uniform(4, 28, (2, 4, 2)).astype(np.float32))
+    vis = jnp.ones((2, 4))
+    lx, ly, w = render_simcc_targets(kp, vis, (32, 32))
+
+    def loss_fn(outputs, batch):
+        px, py = outputs
+        return simcc_kl_loss(px, py, batch["lx"], batch["ly"], batch["w"])
+
+    init_fn, step_fn = make_train_step(model, loss_fn, learning_rate=1e-3)
+    state = init_fn(jax.random.PRNGKey(0), jnp.zeros((2, 32, 32, 3)))
+    batch = {
+        "images": jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)),
+        "lx": lx, "ly": ly, "w": w,
+    }
+    l0 = None
+    for i in range(10):
+        state, loss = step_fn(state, batch)
+        l0 = l0 if l0 is not None else float(loss)
+    assert float(loss) < l0
+
+
+def test_train_step_dp_mesh(rng):
+    """DP train step on the 8-device mesh matches single-device loss."""
+    from multi_camera_3d_pose_estimation_tpu.parallel import make_mesh
+
+    model = HRNet(num_joints=2, cfg=SMALL_HRNET, dtype=jnp.float32)
+    kp = jnp.asarray(rng.uniform(2, 6, (8, 2, 2)).astype(np.float32))
+    vis = jnp.ones((8, 2))
+    targets, w = render_heatmap_targets(kp, vis, (8, 8), sigma=1.0)
+    batch = {
+        "images": jnp.asarray(rng.uniform(size=(8, 32, 32, 3)).astype(np.float32)),
+        "targets": targets,
+        "weights": w,
+    }
+
+    def loss_fn(outputs, b):
+        return heatmap_mse_loss(jnp.moveaxis(outputs, -1, 1), b["targets"], b["weights"])
+
+    import optax
+
+    # Plain SGD: linear in the gradients, so single-device and DP runs can
+    # be compared bitwise-tightly (Adam's normalized update amplifies
+    # reduction-order epsilons on near-zero grads to ~2*lr).
+    init_s, step_s = make_train_step(model, loss_fn, tx=optax.sgd(1e-3))
+    init_m, step_m = make_train_step(model, loss_fn, tx=optax.sgd(1e-3), mesh=make_mesh(8))
+    s0 = init_s(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    m0 = init_m(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    s1, loss_s = step_s(s0, batch)
+    m1, loss_m = step_m(m0, batch)
+    np.testing.assert_allclose(float(loss_s), float(loss_m), rtol=1e-5)
+    # Params agree relative to the update magnitude (f32 reduction-order
+    # noise scales with the raw-init gradients, which are O(100) here).
+    upd = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s0.params)
+    ds = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, m1.params)
+    max_update = max(jax.tree.leaves(upd))
+    assert max(jax.tree.leaves(ds)) < 0.05 * max_update, (max(jax.tree.leaves(ds)), max_update)
+    # And a second step stays in agreement on the loss.
+    s2, loss_s2 = step_s(s1, batch)
+    m2, loss_m2 = step_m(m1, batch)
+    # BatchNorm re-normalization amplifies the step-1 param noise; ~1%%
+    # agreement is the realistic f32 bound here.
+    np.testing.assert_allclose(float(loss_s2), float(loss_m2), rtol=1e-2)
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path, rng):
+    model = HRNet(num_joints=2, cfg=SMALL_HRNET, dtype=jnp.float32)
+
+    def loss_fn(outputs, b):
+        return jnp.mean(outputs**2)
+
+    init_fn, step_fn = make_train_step(model, loss_fn)
+    state = init_fn(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    batch = {"images": jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))}
+    state, _ = step_fn(state, batch)
+    path = str(tmp_path / "train.npz")
+    state.save(path)
+    restored = TrainState.load(path, state)
+    assert restored.step == state.step
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), restored.params, state.params)
+    assert max(jax.tree.leaves(d)) == 0.0
+
+
+def test_centernet_focal_loss_positive(rng):
+    B, h, w = 2, 8, 8
+    outputs = {
+        "center": jnp.asarray(rng.normal(size=(B, h, w)).astype(np.float32)),
+        "wh": jnp.abs(jnp.asarray(rng.normal(size=(B, h, w, 2)).astype(np.float32))),
+        "offset": jnp.asarray(rng.normal(size=(B, h, w, 2)).astype(np.float32)),
+    }
+    ct = jnp.zeros((B, h, w)).at[:, 4, 4].set(1.0)
+    mask = jnp.zeros((B, h, w)).at[:, 4, 4].set(1.0)
+    wh_t = jnp.ones((B, h, w, 2)) * 3
+    off_t = jnp.zeros((B, h, w, 2))
+    loss = centernet_focal_loss(outputs, ct, wh_t, off_t, mask)
+    assert float(loss) > 0 and np.isfinite(float(loss))
