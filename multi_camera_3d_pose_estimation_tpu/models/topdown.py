@@ -124,9 +124,14 @@ class TopDownEstimator:
         heatmap_threshold: float = 0.01,
         bbox_padding: float = 1.25,
         use_fused_decode: bool = False,
+        flip_test: bool = False,
+        decode_mode: str = "default",
+        connectivity_type: str = "coco",
     ):
         if decode not in ("heatmap", "simcc"):
             raise ValueError(f"unknown decode '{decode}'")
+        if decode_mode not in ("default", "dark"):
+            raise ValueError(f"unknown decode_mode '{decode_mode}'")
         self.model = model
         self.variables = variables
         self.input_size = tuple(input_size)
@@ -137,9 +142,25 @@ class TopDownEstimator:
         # requires heatmap H*W % 128 == 0 and a TPU whose toolchain compiles
         # Mosaic kernels.  Semantics identical to the jnp pair.
         self.use_fused_decode = bool(use_fused_decode) and decode == "heatmap"
+        self.flip_test = bool(flip_test)
+        self.decode_mode = decode_mode
+        if self.flip_test:
+            from ..training.augment import flip_permutation
+
+            self._flip_perm = tuple(int(i) for i in flip_permutation(connectivity_type))
+            n_joints = getattr(model, "num_joints", None)
+            if n_joints is not None and n_joints != len(self._flip_perm):
+                raise ValueError(
+                    f"flip_test needs the '{connectivity_type}' swap table "
+                    f"({len(self._flip_perm)} joints) to match the model "
+                    f"({n_joints} joints)"
+                )
+        else:
+            self._flip_perm = None
         self._predict = jax.jit(partial(_predict, model, self.input_size, decode,
                                         self.heatmap_threshold, self.bbox_padding,
-                                        self.use_fused_decode))
+                                        self.use_fused_decode, self._flip_perm,
+                                        self.decode_mode))
 
     def predict_batch(self, frames, bboxes=None):
         """frames (B,H,W,3) uint8/float, bboxes (B,4) or None (full frame).
@@ -176,13 +197,25 @@ def preprocess_crops(frames, bboxes, input_size, bbox_padding: float = 1.25):
 
 
 def _predict(model, input_size, decode, hm_threshold, bbox_padding,
-             use_fused_decode, variables, frames, bboxes):
+             use_fused_decode, flip_perm, decode_mode, variables, frames, bboxes):
     in_w, in_h = input_size
     crops, scale, offset = preprocess_crops(frames, bboxes, input_size, bbox_padding)
 
     if decode == "heatmap":
         heat = model.apply(variables, crops)  # (B, h/4, w/4, K)
         heat = jnp.moveaxis(heat, -1, 1)  # (B, K, h/4, w/4)
+        if flip_perm is not None:
+            # Flip-test TTA (MMPose convention): forward the mirrored crop,
+            # mirror the heatmaps back, swap left/right joints, average.
+            heat_f = model.apply(variables, crops[:, :, ::-1])
+            heat_f = jnp.moveaxis(heat_f, -1, 1)[:, :, :, ::-1]
+            heat_f = heat_f[:, jnp.asarray(flip_perm)]
+            # The mirrored map's peak sits one stride off (UDP flip shift);
+            # shift one heatmap pixel right like MMPose's flip_test.
+            heat_f = jnp.concatenate(
+                [heat_f[..., :1], heat_f[..., :-1]], axis=-1
+            )
+            heat = 0.5 * (heat + heat_f)
         if use_fused_decode:
             from ..ops.pallas import fused_heatmap_decode
 
@@ -190,7 +223,12 @@ def _predict(model, input_size, decode, hm_threshold, bbox_padding,
                 heat, threshold=hm_threshold
             )
         else:
-            xy_hm, score = heatmap_argmax_decode(heat)
+            if decode_mode == "dark":
+                from ..ops.heatmap_decode import heatmap_dark_decode
+
+                xy_hm, score = heatmap_dark_decode(heat)
+            else:
+                xy_hm, score = heatmap_argmax_decode(heat)
             moments = heatmap_moments(heat, threshold=hm_threshold)
         stride = in_h / heat.shape[-2]
         xy_crop = xy_hm * stride

@@ -18,7 +18,7 @@ from .triangulation import (
 )
 from .moments import heatmap_moments
 from .simcc import simcc_decode
-from .heatmap_decode import heatmap_argmax_decode
+from .heatmap_decode import heatmap_argmax_decode, heatmap_dark_decode
 
 __all__ = [
     "make_homogeneous_rep_matrix",
@@ -36,4 +36,5 @@ __all__ = [
     "heatmap_moments",
     "simcc_decode",
     "heatmap_argmax_decode",
+    "heatmap_dark_decode",
 ]

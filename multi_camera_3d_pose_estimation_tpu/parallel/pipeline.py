@@ -63,6 +63,8 @@ class ShardedPosePipeline:
             estimator.heatmap_threshold,
             estimator.bbox_padding,
             getattr(estimator, "use_fused_decode", False),
+            getattr(estimator, "_flip_perm", None),
+            getattr(estimator, "decode_mode", "default"),
             self.conf_threshold,
         )
         if mesh is None:
@@ -80,9 +82,9 @@ class ShardedPosePipeline:
             )
 
     def run(self, frames, bboxes=None):
+        # uint8 frames stay uint8 until inside the jitted program (4x less
+        # host->device traffic; the /255 cast fuses into the crop resample).
         frames = jnp.asarray(frames)
-        if frames.dtype == jnp.uint8:
-            frames = frames.astype(jnp.float32) / 255.0
         T, C, H, W = frames.shape[:4]
         if bboxes is None:
             bboxes = jnp.tile(
@@ -91,12 +93,15 @@ class ShardedPosePipeline:
         return self._run(self.estimator.variables, frames, jnp.asarray(bboxes), self.cam_stack)
 
 
-def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, conf_thr,
-                 variables, frames, bboxes, cam):
+def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
+                 decode_mode, conf_thr, variables, frames, bboxes, cam):
     T, C, H, W, _ = frames.shape
+    if frames.dtype == jnp.uint8:
+        frames = frames.astype(jnp.float32) / 255.0
     flat = frames.reshape(T * C, H, W, 3)
     out = _predict(model, input_size, decode, hm_thr, pad, use_fused,
-                   variables, flat, bboxes.reshape(T * C, 4))
+                   flip_perm, decode_mode, variables, flat,
+                   bboxes.reshape(T * C, 4))
     kpts = out["keypoints"].reshape(T, C, -1, 3)  # (T, C, K, 3)
     gauss = out["gaussians"].reshape(T, C, -1, 6)
 

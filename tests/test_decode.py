@@ -109,3 +109,24 @@ def test_simcc_softmax_refine():
     xy, _ = simcc_decode(logits, logits, split_ratio=1.0,
                          use_softmax_refine=True, refine_radius=3)
     assert abs(float(np.array(xy)[0, 0]) - 10.5) < 0.01
+
+
+def test_dark_decode_subpixel_accuracy():
+    """DARK decode recovers off-grid Gaussian peaks to <0.05 px (vs 0.25 px
+    quantization of the argmax+shift decode)."""
+    from multi_camera_3d_pose_estimation_tpu.ops import (
+        heatmap_argmax_decode,
+        heatmap_dark_decode,
+    )
+
+    H, W = 32, 32
+    ys, xs = np.mgrid[0:H, 0:W]
+    errs_dark, errs_base = [], []
+    for cx, cy in [(10.3, 12.7), (20.85, 5.15), (16.5, 16.5)]:
+        hm = np.exp(-(((xs - cx) ** 2) + ((ys - cy) ** 2)) / (2 * 2.0**2))
+        xy_d, _ = heatmap_dark_decode(jnp.asarray(hm[None], jnp.float64))
+        xy_b, _ = heatmap_argmax_decode(jnp.asarray(hm[None], jnp.float64))
+        errs_dark.append(np.abs(np.asarray(xy_d)[0] - [cx, cy]).max())
+        errs_base.append(np.abs(np.asarray(xy_b)[0] - [cx, cy]).max())
+    assert max(errs_dark) < 0.05, errs_dark
+    assert max(errs_dark) < min(errs_base) + 1e-9  # strictly better

@@ -165,3 +165,22 @@ def test_body_length_edges_compiles_yaml_order():
     assert list(t) == [31.0, 38.0]
     assert (s[0], e[0]) == (11, 12)
     assert (s[1], e[1]) == (5, 7)
+
+
+def test_keypoint_convert_coco_to_h36m():
+    """convert_keypoint_definition parity sanity: COCO->H36M remap."""
+    import numpy as np
+    from multi_camera_3d_pose_estimation_tpu.utils import convert_keypoint_definition
+
+    rng = np.random.default_rng(0)
+    kpts = rng.uniform(0, 100, (17, 3))
+    out = convert_keypoint_definition(
+        kpts, "TopDownCocoDataset", "Body3DH36MDataset"
+    )
+    assert out.shape == (17, 3)
+    # The mapped set must contain pelvis (mid-hips) and thorax
+    # (mid-shoulders) rows regardless of the post-mapping permutation.
+    mid_hips = (kpts[11] + kpts[12]) / 2
+    mid_shoulders = (kpts[5] + kpts[6]) / 2
+    assert any(np.allclose(row, mid_hips) for row in out)
+    assert any(np.allclose(row, mid_shoulders) for row in out)
