@@ -59,10 +59,16 @@ def rodrigues_matrix(rvec: jax.Array) -> jax.Array:
     utils.py:1242-1262 which special-cases θ<1e-6).
     """
     rvec = jnp.asarray(rvec)
-    theta = jnp.linalg.norm(rvec, axis=-1, keepdims=True)  # (...,1)
-    small = theta < 1e-8
-    # Safe normalized axis (arbitrary where theta ~ 0; contribution vanishes).
-    u = rvec / jnp.where(small, jnp.ones_like(theta), theta)
+    # θ via a clamped sum-of-squares: `jnp.linalg.norm` has a NaN gradient
+    # at exactly 0, and even a `where`-select output still back-propagates
+    # NaN through the untaken branch (0·NaN = NaN).  The origin camera's
+    # rvec IS exactly zero in every real pipeline, and that NaN poisons
+    # global-norm gradient clipping for ALL parameters.  With the clamp,
+    # u = rvec/θ → 0, K → 0, R → I exactly, and the gradient limit
+    # dR = [d rvec]× is correct.
+    sumsq = jnp.sum(rvec * rvec, axis=-1, keepdims=True)
+    theta = jnp.sqrt(jnp.maximum(sumsq, 1e-24))  # (...,1)
+    u = rvec / theta
     ux, uy, uz = u[..., 0], u[..., 1], u[..., 2]
     zero = jnp.zeros_like(ux)
     K = jnp.stack(
@@ -75,8 +81,7 @@ def rodrigues_matrix(rvec: jax.Array) -> jax.Array:
     )  # (...,3,3)
     th = theta[..., None]  # (...,1,1)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
-    R = eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
-    return jnp.where(jnp.broadcast_to(small[..., None], R.shape), eye, R)
+    return eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
 
 
 def rodrigues_vector(R: jax.Array) -> jax.Array:

@@ -1,0 +1,217 @@
+"""Parity against the ACTUAL reference implementation (imported, not copied).
+
+/root/reference's `utils` and `pose_refinement` import cleanly in this
+environment (cv2 + torch CPU), so the strongest parity evidence is direct:
+run the reference's own numpy/torch code next to ours on identical inputs.
+Skipped wholesale when the reference tree is absent.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference tree not mounted", allow_module_level=True)
+sys.path.insert(0, REF)
+
+import utils as ref_utils  # noqa: E402  (the reference's module)
+import pose_refinement as ref_pr  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+
+from multi_camera_3d_pose_estimation_tpu.ops import (  # noqa: E402
+    project_points,
+    rotation_conversion,
+    triangulate_points,
+)
+from multi_camera_3d_pose_estimation_tpu.refine import (  # noqa: E402
+    PoseRefiner,
+    linear_interpolation,
+)
+from multi_camera_3d_pose_estimation_tpu.refine.costs import (  # noqa: E402
+    gaussian_log_likelihood,
+)
+from multi_camera_3d_pose_estimation_tpu.utils import (  # noqa: E402
+    get_body_part_lengths,
+)
+from tests.conftest import project_np  # noqa: E402
+
+
+@pytest.fixture
+def two_cams(rng):
+    K1 = np.array([[900.0, 0, 640.0], [0, 905.0, 360.0], [0, 0, 1.0]])
+    K2 = np.array([[880.0, 0, 620.0], [0, 885.0, 380.0], [0, 0, 1.0]])
+    d1 = np.array([-0.15, 0.04, 0.0006, -0.0009, 0.008])
+    d2 = np.array([0.09, -0.02, -0.0004, 0.0007, 0.001])
+    R1, T1 = np.eye(3), np.zeros(3)
+    th = np.deg2rad(22.0)
+    R2 = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]])
+    T2 = np.array([-110.0, 4.0, 30.0])
+    return (K1, d1, R1, T1), (K2, d2, R2, T2)
+
+
+def test_triangulate_points_vs_reference(rng, two_cams):
+    (K1, d1, R1, T1), (K2, d2, R2, T2) = two_cams
+    pts3d = rng.uniform([-50, -50, 250], [50, 50, 450], (700, 3))  # > 512 chunk
+    p1 = project_np(pts3d, K1, R1, T1, d1)
+    p2 = project_np(pts3d, K2, R2, T2, d2)
+    kpts = np.stack([p1, p2], axis=-2)  # (N, 2 views, 2)
+
+    ref = ref_utils.triangulate_points(kpts, K1, d1, R1, T1, K2, d2, R2, T2)
+    ours = np.asarray(
+        triangulate_points(jnp.asarray(kpts), K1, d1, R1, T1, K2, d2, R2, T2)
+    )
+    mpjpe_mm = np.linalg.norm(ours - ref, axis=-1).mean() * 10  # cm → mm
+    assert mpjpe_mm < 1.0, f"MPJPE vs reference = {mpjpe_mm:.4f} mm"
+    np.testing.assert_allclose(ours, ref, atol=2e-2)
+
+
+def test_linear_interpolation_vs_reference(rng):
+    T, P, D = 40, 4, 3
+    t = np.arange(T)[:, None, None]
+    x = np.sin(t / 6.0) * 40 + rng.normal(0, 0.6, (T, P, D))
+    x[7, 1, 2] += 90.0
+    x[22, 0, 0] -= 70.0
+
+    for kwargs in (
+        {},
+        {"k": 7},
+        {"use_rolling_average": True},
+        {"filter_distance_from_median": False},
+    ):
+        ref = ref_pr.linear_interpolation(x.copy(), **kwargs)
+        ours = np.asarray(
+            linear_interpolation(x, strict_zero_fallback=True, **kwargs)
+        )
+        np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6, err_msg=str(kwargs))
+
+
+def test_project_points_torch_vs_ours(rng, two_cams):
+    (K1, d1, R1, T1), (K2, d2, R2, T2) = two_cams
+    pts = rng.uniform([-40, -40, 250], [40, 40, 420], (6, 17, 3))
+    ref = ref_pr.project_points_torch(
+        torch.tensor(pts, dtype=torch.float64),
+        torch.tensor(K2, dtype=torch.float64),
+        torch.tensor(R2, dtype=torch.float64),
+        torch.tensor(T2, dtype=torch.float64),
+        torch.tensor(d2.reshape(1, 5), dtype=torch.float64),
+        torch_dtype=torch.float64,
+    ).numpy()
+    ours = np.asarray(
+        project_points(jnp.asarray(pts), K2, R2, T2, dist_coeffs=d2)
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-9)
+
+
+def test_gaussian_likelihood_vs_reference(rng):
+    x = rng.uniform(0, 100, (5, 17, 2))
+    mean = x + rng.normal(0, 3, x.shape)
+    cov = np.zeros((5, 17, 2, 2))
+    cov[..., 0, 0] = rng.uniform(4, 25, (5, 17))
+    cov[..., 1, 1] = rng.uniform(4, 25, (5, 17))
+    cov[..., 0, 1] = cov[..., 1, 0] = rng.uniform(-1, 1, (5, 17))
+
+    ref = ref_pr.gaussian_likelihood(
+        torch.tensor(x), torch.tensor(mean), torch.tensor(cov),
+        torch_dtype=torch.float64,
+    ).numpy()
+    ours = np.asarray(
+        gaussian_log_likelihood(jnp.asarray(x), jnp.asarray(mean), cov=jnp.asarray(cov))
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-8)
+
+
+def test_body_part_lengths_vs_reference(rng):
+    pose = rng.uniform(-50, 50, (8, 17, 3))
+    ref = ref_utils.get_body_part_lengths(torch.tensor(pose))
+    ours = get_body_part_lengths(jnp.asarray(pose))
+    assert set(ref.keys()) == set(ours.keys())
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(ours[k]), ref[k].numpy(), rtol=1e-6, err_msg=k
+        )
+
+
+def test_rotation_conversion_vs_reference(rng):
+    for _ in range(10):
+        rvec = rng.normal(0, 1.0, 3)
+        R_ref = ref_utils.rotation_conversion(
+            torch.tensor(rvec, dtype=torch.float64), to_vector=False
+        ).numpy()
+        R_us = np.asarray(rotation_conversion(jnp.asarray(rvec), to_vector=False))
+        np.testing.assert_allclose(R_us, R_ref, atol=1e-12)
+        v_ref = ref_utils.rotation_conversion(
+            torch.tensor(R_ref, dtype=torch.float64), to_vector=True
+        ).numpy()
+        v_us = np.asarray(rotation_conversion(jnp.asarray(R_ref), to_vector=True))
+        np.testing.assert_allclose(v_us, v_ref, atol=1e-9)
+
+
+@pytest.mark.slow
+def test_sgd_refinement_vs_reference_cost_curve(rng, two_cams):
+    """Step-for-step optimizer parity: identical init, identical Adam
+    hyperparameters, camera0-compat Gaussian indexing — the per-epoch total
+    cost must track the reference's torch loop closely over early epochs.
+
+    (A long-horizon comparison is meaningless here: with 2 cameras the
+    reference's camera-0 Gaussian indexing makes its own objective
+    inconsistent and the optimization eventually diverges — reproduced
+    identically by our compat mode, which is the point.)
+    """
+    (K1, d1, R1, T1), (K2, d2, R2, T2) = two_cams
+    T, J = 8, 5
+    t = np.linspace(0, 2 * np.pi, T)[:, None, None]
+    base = rng.uniform([-30, -30, 280], [30, 30, 360], (1, J, 3))
+    traj = base + 8 * np.stack(
+        [np.sin(t[..., 0]), np.cos(t[..., 0]), 0.3 * np.sin(2 * t[..., 0])], -1
+    )
+    gauss = np.zeros((T, 2, J, 6))
+    cams = {0: [K1, R1, T1, d1], 1: [K2, R2, T2, d2]}
+    for c, (K, R, Tv, d) in cams.items():
+        proj = project_np(traj.reshape(-1, 3), K, R, Tv, d).reshape(T, J, 2)
+        gauss[:, c, :, :2] = proj
+        gauss[:, c, :, 2] = 9.0
+        gauss[:, c, :, 5] = 9.0
+    noisy = traj + rng.normal(0, 2.0, traj.shape)
+
+    n_epochs = 15
+    kwargs = dict(lr=0.01, lambda_smooth=0.0, lambda_body_length=0.0,
+                  max_iter=n_epochs, patience=10**6, tolerance=0.0)
+
+    ref_cams = {c: [np.asarray(p) for p in [cams[c][0], cams[c][1],
+                np.asarray(cams[c][2]).reshape(3, 1),
+                cams[c][3].reshape(1, 5)]] for c in cams}
+    # The reference builds its body-length vector unconditionally
+    # (pose_refinement.py:966->:770) even with lambda_body_length=0.
+    bl = {"left_shoulder_left_elbow": 38.0}
+    ref_opt = ref_pr.Optimized_3d_Pose_Estimation(
+        gauss, noisy, decomposed_cam_params_initial={
+            c: [torch.tensor(p, dtype=torch.float32) for p in ref_cams[c]]
+            for c in ref_cams
+        },
+        body_lengths=bl,
+    )
+    # Explicit interval: the reference default [0,-1] silently DROPS the
+    # last frame (slice semantics at pose_refinement.py:897).
+    ref_opt.sgd_optimize(print_frequency=10**9, time_interval=[0, T], **kwargs)
+    # The reference's `all_costs_total = all_costs.copy()` (:992) is a
+    # SHALLOW copy, so per-batch costs and running means interleave in one
+    # aliased list: [c0, mean, c1, mean, ...].  The true per-epoch costs
+    # are the even-indexed entries.
+    raw = [float(v) for v in ref_opt.all_costs_total["total_cost"]]
+    ref_costs = np.array(raw[0::2][:n_epochs])
+
+    ours = PoseRefiner(gauss, noisy, cams)
+    res = ours.sgd_optimize(
+        camera0_gaussians_compat=True, time_interval=(0, T), **kwargs
+    )
+    our_costs = res.cost_history["total_cost"][:n_epochs]
+
+    n = min(len(our_costs), len(ref_costs))
+    # Step-for-step agreement of torch-Adam vs optax-Adam on the identical
+    # objective: ~1e-6 relative (f32).
+    np.testing.assert_allclose(our_costs[:n], ref_costs[:n], rtol=1e-4)
