@@ -11,6 +11,7 @@ from .targets import render_heatmap_targets, render_simcc_targets
 from .losses import heatmap_mse_loss, simcc_kl_loss, centernet_focal_loss
 from .augment import random_flip_pose, random_affine_params
 from .loop import make_train_step, TrainState
+from .data import parse_coco_keypoints, KeypointBatcher, make_crop_batch
 
 __all__ = [
     "render_heatmap_targets",
@@ -22,4 +23,7 @@ __all__ = [
     "random_affine_params",
     "make_train_step",
     "TrainState",
+    "parse_coco_keypoints",
+    "KeypointBatcher",
+    "make_crop_batch",
 ]

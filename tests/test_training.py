@@ -185,3 +185,72 @@ def test_centernet_focal_loss_positive(rng):
     off_t = jnp.zeros((B, h, w, 2))
     loss = centernet_focal_loss(outputs, ct, wh_t, off_t, mask)
     assert float(loss) > 0 and np.isfinite(float(loss))
+
+
+def make_mini_coco(tmp_path, rng, n_images=6):
+    """Minimal COCO person_keypoints dataset with rendered blob 'people'."""
+    import json
+    cv2 = pytest.importorskip("cv2")
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    images, annotations = [], []
+    for i in range(n_images):
+        img = (rng.uniform(0, 60, (120, 160, 3))).astype(np.uint8)
+        x, y = rng.uniform(30, 130), rng.uniform(30, 90)
+        cv2.circle(img, (int(x), int(y)), 6, (255, 255, 255), -1)
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(img_dir / name), img)
+        images.append({"id": i, "file_name": name, "width": 160, "height": 120})
+        kp = np.zeros(17 * 3)
+        kp[0:3] = [x, y, 2]  # nose labeled, others invisible
+        annotations.append({
+            "id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+            "bbox": [x - 15, y - 15, 30, 30],
+            "keypoints": kp.tolist(), "num_keypoints": 1,
+        })
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps({"images": images, "annotations": annotations}))
+    return str(ann_path), str(img_dir)
+
+
+def test_parse_coco_and_batcher(tmp_path, rng):
+    from multi_camera_3d_pose_estimation_tpu.training import (
+        KeypointBatcher,
+        parse_coco_keypoints,
+    )
+
+    ann, imgs = make_mini_coco(tmp_path, rng)
+    records = parse_coco_keypoints(ann, imgs)
+    assert len(records) == 6
+    assert records[0]["keypoints"].shape == (17, 2)
+
+    batcher = KeypointBatcher(
+        records, batch_size=3, input_size=(32, 64), image_size=(160, 120),
+        target="heatmap", augment=True,
+    )
+    it = iter(batcher)
+    b1 = next(it)
+    b2 = next(it)
+    batcher.close()
+    assert b1["images"].shape == (3, 64, 32, 3)
+    assert b1["targets"].shape == (3, 17, 16, 8)
+    assert b1["weights"].shape == (3, 17)
+    # Only the nose is labeled.
+    w = np.asarray(b1["weights"])
+    assert (w[:, 0] == 1).all() and (w[:, 1:] == 0).all()
+    assert np.isfinite(np.asarray(b1["images"])).all()
+
+
+def test_make_crop_batch_simcc(rng):
+    from multi_camera_3d_pose_estimation_tpu.training import make_crop_batch
+
+    images = rng.uniform(size=(2, 100, 100, 3)).astype(np.float32)
+    boxes = np.tile([10.0, 10.0, 90.0, 90.0], (2, 1)).astype(np.float32)
+    kps = rng.uniform(20, 80, (2, 17, 2)).astype(np.float32)
+    vis = np.ones((2, 17), np.float32)
+    batch = make_crop_batch(images, boxes, kps, vis, input_size=(32, 64),
+                            target="simcc")
+    assert batch["images"].shape == (2, 64, 32, 3)
+    assert batch["lx"].shape == (2, 17, 64)
+    assert batch["ly"].shape == (2, 17, 128)
