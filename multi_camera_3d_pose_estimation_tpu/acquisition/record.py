@@ -22,8 +22,6 @@ import os
 import threading
 import time
 
-import numpy as np
-
 from ..io.manifest import load_camera_names, save_camera_names
 
 __all__ = ["record_from_cameras", "identify_cameras", "select_webcam_names"]

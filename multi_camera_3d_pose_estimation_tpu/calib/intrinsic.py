@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.geometry import project_points, rodrigues_matrix, rodrigues_vector
+from ..ops.geometry import project_points, rodrigues_vector
 from .homography import find_homography
 from .lm import levenberg_marquardt
 

@@ -36,7 +36,6 @@ from ..calib import (
 )
 from ..io.camera_params import (
     read_camera_parameters,
-    read_rotation_translation,
     save_camera_intrinsics,
     save_extrinsic_calibration_parameters,
 )

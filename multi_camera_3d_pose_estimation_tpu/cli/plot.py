@@ -9,7 +9,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
 import yaml
 
 from ..io.manifest import load_if_exists

@@ -13,8 +13,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from ..acquisition import record_from_cameras
 from ..io.manifest import create_new_numbered_folder, write_recording_log
 from ..sync import synchronize_videos

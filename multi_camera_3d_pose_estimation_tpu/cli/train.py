@@ -15,7 +15,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models import HRNet, RTMPose
 from ..models.registry import MODEL_REGISTRY, resolve_model_name, save_checkpoint_npz

@@ -16,8 +16,6 @@ strict — a silently misaligned checkpoint is worse than an error.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -73,7 +71,12 @@ def load_torch_hrnet(variables: dict, path: str) -> dict:
             bns[base][field] = arr
 
     # Our side: flatten with paths; convs are 'kernel' with ndim 4.
+    # tree_flatten sorts dict keys LEXICOGRAPHICALLY ('ConvBN_10' before
+    # 'ConvBN_2'), which would scramble the construction-order matching —
+    # re-sort the flat list with a numeric-aware key so module indices
+    # order as built.
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat = sorted(flat, key=lambda pv: [_natural(k) for k in _path_keys(pv[0])])
     our_convs = [(p, v) for p, v in flat if v.ndim == 4]
     params_scale = [
         (p, v) for p, v in flat if _leaf_name(p) == "scale"
@@ -161,3 +164,11 @@ def _prefix(path) -> list[str]:
 
 def _path_str(path) -> str:
     return "/".join(_path_keys(path))
+
+
+def _natural(key: str):
+    """'ConvBN_10' → ('ConvBN_', 10) so numeric suffixes sort numerically."""
+    import re
+
+    parts = re.split(r"(\d+)", key)
+    return tuple(int(p) if p.isdigit() else p for p in parts)

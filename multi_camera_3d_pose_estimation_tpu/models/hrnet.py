@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 __all__ = ["HRNet", "HRNET_W32", "HRNET_W48"]

@@ -25,7 +25,6 @@ keypoints (B, K, 3) = (x_px, y_px, score); gaussians (B, K, 6) =
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

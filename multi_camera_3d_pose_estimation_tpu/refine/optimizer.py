@@ -36,7 +36,6 @@ import dataclasses
 import os
 from dataclasses import dataclass
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

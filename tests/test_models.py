@@ -178,7 +178,10 @@ def test_torch_hrnet_converter_roundtrip(tmp_path, hrnet_small):
 
     model, variables = hrnet_small
     rng = np.random.default_rng(0)
+    from multi_camera_3d_pose_estimation_tpu.models.convert import _natural, _path_keys
+
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat = sorted(flat, key=lambda pv: [_natural(k) for k in _path_keys(pv[0])])
 
     state = {}
     conv_i = bn_i = 0
@@ -206,6 +209,7 @@ def test_torch_hrnet_converter_roundtrip(tmp_path, hrnet_small):
     restored = load_torch_hrnet(variables, path)
     # Every conv kernel must now equal the transposed torch tensor.
     r_flat = jax.tree_util.tree_flatten_with_path(restored)[0]
+    r_flat = sorted(r_flat, key=lambda pv: [_natural(k) for k in _path_keys(pv[0])])
     conv_i = 0
     for (p, v0), (_, v1) in zip(flat, r_flat):
         if v0.ndim == 4:
