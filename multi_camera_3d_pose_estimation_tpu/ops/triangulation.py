@@ -128,6 +128,10 @@ def triangulate_top2(
     kpts = jnp.asarray(kpts)
     conf = jnp.asarray(conf)
     n_cams = kpts.shape[-2]
+    if n_cams < 2:
+        raise ValueError(
+            f"triangulation needs >= 2 camera views, got {n_cams}"
+        )
 
     # Undistort every view with its own intrinsics (vmap over cameras on the
     # second-to-last axis), re-projected into pixel units with P=K.

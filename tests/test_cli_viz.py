@@ -203,3 +203,29 @@ def test_visualize_2d_and_heatmap_animation(tmp_path, rng):
     out2 = str(tmp_path / "heat.gif")
     create_heatmap_animation(heat, frames, out_path=out2, fps=5)
     assert os.path.getsize(out2) > 1000
+
+
+def test_interactive_viewer_headless(rng, tmp_path):
+    from multi_camera_3d_pose_estimation_tpu.viz import interactive_3d_pose_animation
+
+    traj = rng.normal(0, 10, (3, 17, 3)) + np.array([0, 0, 300.0])
+    ani = interactive_3d_pose_animation(traj)
+    out = str(tmp_path / "interactive.gif")
+    ani.save(out, fps=5)
+    assert os.path.getsize(out) > 500
+
+
+def test_animate_trackpoints_over_video(tmp_path, rng):
+    import cv2
+    from multi_camera_3d_pose_estimation_tpu.viz import animate_trackpoints
+
+    p = str(tmp_path / "track.mp4")
+    vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+    for _ in range(4):
+        vw.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8).copy())
+    vw.release()
+    pts = rng.uniform(5, 40, (4, 3, 2))
+    ani = animate_trackpoints(pts, p, labels=["a", "b", "c"])
+    out = str(tmp_path / "track.gif")
+    ani.save(out, fps=5)
+    assert os.path.getsize(out) > 500

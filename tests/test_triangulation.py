@@ -179,3 +179,14 @@ def test_get_pose_3d_reference_layout(rng, camera_pair):
     R_W0 = np.array([[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]])
     p3_rot = np.asarray(get_pose_3d(kpts_2d, cams, world_trans_rot=(R_W0, np.zeros(3))))
     np.testing.assert_allclose(p3_rot, pts3d @ np.linalg.inv(R_W0).T, atol=1e-3)
+
+
+def test_triangulate_top2_rejects_single_camera():
+    import pytest
+    from multi_camera_3d_pose_estimation_tpu.ops import triangulate_top2
+
+    with pytest.raises(ValueError, match=">= 2 camera"):
+        triangulate_top2(
+            np.zeros((3, 17, 1, 2)), np.ones((3, 17, 1)),
+            np.eye(3)[None], np.zeros((1, 5)), np.eye(3)[None], np.zeros((1, 3)),
+        )
