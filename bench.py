@@ -20,7 +20,32 @@ import time
 import numpy as np
 
 
+def _ensure_backend(max_retries: int = 3):
+    """The axon TPU plugin occasionally fails to register (transient tunnel
+    hiccup), leaving a dangling JAX_PLATFORMS=axon.  Re-exec the process a
+    few times before giving up — jax backends can't re-init in-process."""
+    import os
+    import sys
+    import time
+
+    try:
+        import jax
+
+        jax.devices()
+        return
+    except Exception as e:  # pragma: no cover - environment flake path
+        tries = int(os.environ.get("_BENCH_RETRY", "0"))
+        if tries >= max_retries:
+            raise
+        print(f"backend init failed ({e}); retry {tries + 1}/{max_retries}",
+              file=sys.stderr)
+        time.sleep(10 * (tries + 1))
+        os.environ["_BENCH_RETRY"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
+    _ensure_backend()
     import jax
     import jax.numpy as jnp
 

@@ -77,6 +77,8 @@ def estimate_pose_from_video(
     block_size: int = 16,
     conf_threshold: float = 0.3,
     mesh=None,
+    num_joints: int = 17,
+    estimator_kwargs: dict | None = None,
 ):
     """Full 2D+3D estimation over synchronized recordings.
 
@@ -123,7 +125,10 @@ def estimate_pose_from_video(
         cam_lists.append([K, R, T, dist])
     cam_stack = stack_camera_params(cam_lists)
 
-    estimator = build_estimator(pose_estimation_model, checkpoint=checkpoint)
+    estimator = build_estimator(
+        pose_estimation_model, checkpoint=checkpoint, num_joints=num_joints,
+        **(estimator_kwargs or {}),
+    )
     pipeline = ShardedPosePipeline(
         estimator, cam_stack, mesh=mesh, conf_threshold=conf_threshold
     )

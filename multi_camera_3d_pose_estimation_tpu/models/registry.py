@@ -48,6 +48,13 @@ MODEL_REGISTRY: dict[str, dict[str, Any]] = {
         "decode": "heatmap",
         "input_size": (32, 64),
     },
+    # Small CPU-trainable model with a usable heatmap resolution (demos).
+    "test_small_128": {
+        "family": "hrnet",
+        "cfg": {"widths": (16, 32, 64, 128), "modules": (1, 1, 1, 1), "stem": 32},
+        "decode": "heatmap",
+        "input_size": (128, 128),
+    },
 }
 
 _ALIASES = {
@@ -74,12 +81,15 @@ def build_estimator(
     num_joints: int = 17,
     seed: int = 0,
     dtype=jnp.bfloat16,
+    **estimator_kwargs,
 ) -> TopDownEstimator:
     """Construct a ready `TopDownEstimator` by registry name.
 
     ``checkpoint``: path to an .npz/.msgpack of our parameter pytree, or a
     torch .pth for the hrnet family (converted on load).  None → random
     init (pipeline-correct; accuracy requires trained weights).
+    ``estimator_kwargs`` pass through to `TopDownEstimator` (e.g.
+    ``decode_mode="dark"``, ``flip_test=True``).
     """
     spec = MODEL_REGISTRY[resolve_model_name(name)]
     in_w, in_h = spec["input_size"]
@@ -96,7 +106,8 @@ def build_estimator(
     if checkpoint:
         variables = _load_checkpoint(variables, checkpoint, spec["family"])
     return TopDownEstimator(
-        model, variables, input_size=spec["input_size"], decode=spec["decode"]
+        model, variables, input_size=spec["input_size"], decode=spec["decode"],
+        **estimator_kwargs,
     )
 
 
