@@ -56,12 +56,9 @@ def load_torch_hrnet(variables: dict, path: str) -> dict:
     convs: list[tuple[str, np.ndarray]] = []
     bns: dict[str, dict[str, np.ndarray]] = {}
     bn_order: list[str] = []
-    linears: list[tuple[str, np.ndarray, np.ndarray | None]] = []
     for name, arr in _ordered_torch_params(state):
         if arr.ndim == 4:
             convs.append((name, arr))
-        elif arr.ndim == 2:
-            linears.append((name, arr, state.get(name.replace("weight", "bias"))))
         elif arr.ndim == 1:
             base = name.rsplit(".", 1)[0]
             field = name.rsplit(".", 1)[1]
@@ -83,7 +80,6 @@ def load_torch_hrnet(variables: dict, path: str) -> dict:
     ]
     params_bias = {tuple(_prefix(p)): v for p, v in flat if _leaf_name(p) == "bias"}
     stats_mean = [(p, v) for p, v in flat if _leaf_name(p) == "mean"]
-    stats_var = {tuple(_prefix(p)): v for p, v in flat if _leaf_name(p) == "var"}
 
     if len(our_convs) != len(convs):
         raise ValueError(

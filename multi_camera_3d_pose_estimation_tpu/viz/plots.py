@@ -100,14 +100,42 @@ def visualize_3d(
     n_views = len(plane_views)
     n_extra = len(additional_metrics)
 
-    fig = plt.figure(figsize=(4 * n_views, 4 + 3 * (n_extra > 0)))
+    # Optional camera-frame strips (reference plot_utils.py:105-143): one
+    # video panel per selected camera below the 3D views.
+    readers = []
+    if recording_paths:
+        from ..io.frames import VideoReader
+
+        paths = (
+            list(recording_paths.values())
+            if isinstance(recording_paths, dict)
+            else list(recording_paths)
+        )
+        if camera_indices is None:
+            camera_indices = list(range(min(2, len(paths))))
+        for c in camera_indices:
+            r = VideoReader(paths[c], bgr=False)
+            for _ in range(starting_frame):  # skip to the animation start
+                if r.read_block(1).shape[0] == 0:
+                    break
+            readers.append(r)
+
+    n_rows = 1 + (n_extra > 0) + (len(readers) > 0)
+    fig = plt.figure(figsize=(4 * n_views, 4 * n_rows))
     axes3d = [
-        fig.add_subplot(1 + (n_extra > 0), n_views, i + 1, projection="3d")
+        fig.add_subplot(n_rows, n_views, i + 1, projection="3d")
         for i in range(n_views)
     ]
     extra_axes = [
-        fig.add_subplot(2, max(n_extra, 1), max(n_extra, 1) + i + 1)
+        fig.add_subplot(n_rows, max(n_extra, 1), max(n_extra, 1) + i + 1)
         for i in range(n_extra)
+    ]
+    cam_axes = [
+        fig.add_subplot(
+            n_rows, max(len(readers), 1),
+            (n_rows - 1) * max(len(readers), 1) + i + 1,
+        )
+        for i in range(len(readers))
     ]
     lims = calculate_plot_lims(p3ds.reshape(-1, 3), axis=(0,))
     for ax, view in zip(axes3d, plane_views):
@@ -140,6 +168,12 @@ def visualize_3d(
             m = np.asarray(metric)
             ax.plot(m[: starting_point + t + 1])
             ax.set_title(name)
+        for ax, reader in zip(cam_axes, readers):
+            block = reader.read_block(1)
+            if block.shape[0]:
+                ax.clear()
+                ax.imshow(block[0])
+                ax.axis("off")
         return artists
 
     ani = FuncAnimation(fig, update, frames=n_frames, interval=interval, blit=False)

@@ -229,3 +229,35 @@ def test_animate_trackpoints_over_video(tmp_path, rng):
     out = str(tmp_path / "track.gif")
     ani.save(out, fps=5)
     assert os.path.getsize(out) > 500
+
+
+def test_visualize_3d_with_camera_strips(tmp_path, rng):
+    import cv2
+    from multi_camera_3d_pose_estimation_tpu.viz import visualize_3d
+
+    paths = []
+    for c in range(2):
+        p = str(tmp_path / f"strip{c}.mp4")
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+        for _ in range(5):
+            vw.write(rng.integers(0, 255, (48, 64, 3), dtype=np.uint8).copy())
+        vw.release()
+        paths.append(p)
+    traj = rng.normal(0, 10, (4, 17, 3)) + np.array([0, 0, 300.0])
+    ani = visualize_3d(traj, recording_paths=paths)
+    out = str(tmp_path / "with_strips.gif")
+    ani.save(out, fps=5)
+    assert os.path.getsize(out) > 1000
+
+
+def test_main_dispatcher(capsys):
+    import pytest
+    from multi_camera_3d_pose_estimation_tpu.__main__ import main
+
+    with pytest.raises(SystemExit) as e:
+        main([])
+    assert e.value.code == 0
+    assert "refine" in capsys.readouterr().out
+    with pytest.raises(SystemExit) as e:
+        main(["bogus"])
+    assert e.value.code == 2
