@@ -52,39 +52,39 @@ def main():
     from __graft_entry__ import _build_pipeline
     from multi_camera_3d_pose_estimation_tpu.models import HRNET_W32
 
-    T, C, H, W = 128, 2, 256, 256  # 128 frames x 2 cameras per step
+    T, C, H, W = 256, 2, 256, 256  # 256 frames x 2 cameras per step
     frames_shape = (T, C, H, W, 3)
     pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
 
-    # Rotate distinct device-resident input buffers so no runtime-level
-    # result caching can fake the measurement, and chain a scalar readback
-    # through an accumulator so steps execute sequentially.
+    # Watertight timing through the noisy device tunnel: every step's input
+    # is derived from the PREVIOUS step's output (base + acc*1e-9), so no
+    # runtime-level memoization or async-completion quirk can skip work,
+    # and all steps execute strictly sequentially on device.
     rng = np.random.default_rng(0)
-    n_buf = 2
-    frames_list = [
-        jax.device_put(jnp.asarray(rng.uniform(size=frames_shape), jnp.float32))
-        for _ in range(n_buf)
-    ]
-    for f in frames_list:
-        f.block_until_ready()
+    base = jax.device_put(jnp.asarray(rng.uniform(size=frames_shape), jnp.float32))
+    base.block_until_ready()
     bboxes = jax.device_put(
         jnp.tile(jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1))
     )
     variables = pipe.estimator.variables
 
+    @jax.jit
+    def perturb(b, a):
+        return b + a * 1e-9
+
     def step(frames):
         return pipe._run(variables, frames, bboxes, pipe.cam_stack)
 
-    # Warmup / compile.
-    out = step(frames_list[0])
+    # Warmup / compile both programs.
+    out = step(perturb(base, jnp.zeros(())))
     jax.block_until_ready(out["kpts_3d"])
 
     # Timed steady state.
-    n_iters = 20
+    n_iters = 15
     acc = jnp.zeros(())
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = step(frames_list[i % n_buf])
+    for _ in range(n_iters):
+        out = step(perturb(base, acc))
         acc = acc + jnp.sum(out["kpts_3d"])
     acc.block_until_ready()
     dt = time.perf_counter() - t0
