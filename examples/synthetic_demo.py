@@ -48,11 +48,7 @@ def main():
         save_camera_names,
         write_recording_log,
     )
-    from multi_camera_3d_pose_estimation_tpu.models import (
-        HRNet,
-        TopDownEstimator,
-        preprocess_crops,
-    )
+    from multi_camera_3d_pose_estimation_tpu.models import HRNet, preprocess_crops
     from multi_camera_3d_pose_estimation_tpu.models.registry import (
         MODEL_REGISTRY,
         save_checkpoint_npz,

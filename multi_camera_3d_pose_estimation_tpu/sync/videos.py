@@ -44,6 +44,7 @@ def compute_sync_frame_indices(video_paths, search_seconds: float = 30.0):
 
 def synchronize_videos(
     video_paths,
+    frame_range=tuple(range(-5, 6)),
     save_as_files: bool = True,
     adjusted_sync_frame_indices=None,
     delete_originals: bool = False,
@@ -54,13 +55,15 @@ def synchronize_videos(
 
     ``synchronized_frames``: list over time of ``[frame_cam0, ...]`` (BGR,
     matching the cv2 convention downstream code expects).
-    ``frame_picker(sync_indices, video_paths) -> indices`` optionally
-    adjusts the audio-derived indices (the interactive hook).
+    ``frame_picker(sync_indices, video_paths, frame_range) -> indices``
+    optionally adjusts the audio-derived indices (the interactive hook;
+    ``frame_range`` is the ±offset window the reference's grid UI showed,
+    synchronize_videos.py:198).
     """
     if adjusted_sync_frame_indices is None:
         sync_indices, fps_list = compute_sync_frame_indices(video_paths)
         if frame_picker is not None:
-            sync_indices = frame_picker(sync_indices, video_paths)
+            sync_indices = frame_picker(sync_indices, video_paths, frame_range)
             if sync_indices is None:
                 return None
         adjusted_sync_frame_indices = sync_indices
