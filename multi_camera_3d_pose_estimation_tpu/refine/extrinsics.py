@@ -84,6 +84,7 @@ class ExtrinsicRefiner:
         patience: int = 10,
         seed: int = 0,
         minimize_likelihood_compat: bool = False,
+        print_frequency: int | None = None,
     ):
         """Run the jitted Adam loop; returns ``(R (3,3), T (3,))`` best pair."""
         g = jnp.asarray(self.gaussians, self.dtype)
@@ -121,6 +122,12 @@ class ExtrinsicRefiner:
         self.T = np.asarray(best_T, np.float64)
         self.n_iter = int(n_iter)
         self.best_cost = float(best_cost)
+        if print_frequency:
+            # Reference-style closing report (pose_refinement.py:355-359).
+            print(
+                f"Extrinsic refinement: {self.n_iter} iterations, "
+                f"best cost = {self.best_cost:.2e}"
+            )
         return self.R, self.T
 
 

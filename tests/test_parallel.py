@@ -129,3 +129,29 @@ def test_run_clips_batched(small_pipeline_parts):
         np.asarray(results[1]["kpts_3d"]), np.asarray(solo["kpts_3d"]),
         rtol=1e-5, atol=1e-5, equal_nan=True,
     )
+
+
+def test_sharded_pipeline_simcc_path():
+    """The non-heatmap decode family through the full jitted pipeline."""
+    from multi_camera_3d_pose_estimation_tpu.models import RTMPose, TopDownEstimator
+
+    model = RTMPose(
+        num_joints=17, input_size=(32, 64),
+        cfg={"widen": 0.125, "deepen": 0.167, "embed": 32}, dtype=jnp.float32,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
+    est = TopDownEstimator(model, variables, input_size=(32, 64), decode="simcc")
+    C = 2
+    cam_stack = {
+        "K": np.tile(np.array([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1]]), (C, 1, 1)),
+        "R": np.stack([np.eye(3)] * C),
+        "T": np.stack([np.zeros(3), np.array([-30.0, 0, 0])]),
+        "dist": np.zeros((C, 5)),
+    }
+    pipe = ShardedPosePipeline(est, cam_stack, mesh=make_mesh(8), conf_threshold=-1.0)
+    frames = np.random.default_rng(1).uniform(size=(8, 2, 96, 96, 3)).astype(np.float32)
+    out = pipe.run(frames)
+    assert out["kpts_2d"].shape == (8, 17, 3, 2)
+    assert out["heatmaps_2d"].shape == (8, 2, 17, 6)
+    assert out["kpts_3d"].shape == (8, 17, 3)
+    assert np.isfinite(np.asarray(out["heatmaps_2d"])).all()
