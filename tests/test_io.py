@@ -184,3 +184,21 @@ def test_keypoint_convert_coco_to_h36m():
     mid_shoulders = (kpts[5] + kpts[6]) / 2
     assert any(np.allclose(row, mid_hips) for row in out)
     assert any(np.allclose(row, mid_shoulders) for row in out)
+
+
+def test_step_timer_report(capsys):
+    import time as _time
+
+    from multi_camera_3d_pose_estimation_tpu.utils import StepTimer
+
+    timer = StepTimer(block_jax=False)
+    with timer.stage("decode"):
+        _time.sleep(0.01)
+    with timer.stage("model"):
+        _time.sleep(0.02)
+    with timer.stage("model"):
+        _time.sleep(0.02)
+    report = timer.report()
+    assert "model" in report and "decode" in report
+    assert timer.counts["model"] == 2
+    assert timer.totals["model"] > timer.totals["decode"]
