@@ -28,12 +28,19 @@ from .audio import get_loudest_point
 __all__ = ["synchronize_videos", "compute_sync_frame_indices"]
 
 
-def compute_sync_frame_indices(video_paths, search_seconds: float = 30.0):
-    """Per-video frame index of the loudest audio moment."""
+def compute_sync_frame_indices(video_paths, search_seconds: float = 30.0,
+                               audio_paths=None):
+    """Per-video frame index of the loudest audio moment.
+
+    ``audio_paths``: optional sidecar audio files (e.g. WAVs from a rig
+    that records audio separately); default reads each video's own audio
+    track.
+    """
     indices = []
     fps_list = []
-    for path in video_paths:
-        t = get_loudest_point(path, search_seconds=search_seconds)
+    for i, path in enumerate(video_paths):
+        src = audio_paths[i] if audio_paths else path
+        t = get_loudest_point(src, search_seconds=search_seconds)
         r = VideoReader(path, prefetch=0)
         fps = r.fps
         r.close()
@@ -50,6 +57,7 @@ def synchronize_videos(
     delete_originals: bool = False,
     frame_picker=None,
     max_frames: int | None = None,
+    audio_paths=None,
 ):
     """Returns ``(synchronized_frames, output_paths)`` like the reference.
 
@@ -61,7 +69,9 @@ def synchronize_videos(
     synchronize_videos.py:198).
     """
     if adjusted_sync_frame_indices is None:
-        sync_indices, fps_list = compute_sync_frame_indices(video_paths)
+        sync_indices, fps_list = compute_sync_frame_indices(
+            video_paths, audio_paths=audio_paths
+        )
         if frame_picker is not None:
             sync_indices = frame_picker(sync_indices, video_paths, frame_range)
             if sync_indices is None:

@@ -139,3 +139,29 @@ def test_write_keypoints_to_disk(tmp_path):
     assert len(lines) == 2
     assert lines[0].split() == [str(float(v)) for v in range(6)] or \
         lines[0].split() == [str(v) for v in range(6)]
+
+
+def test_audio_sync_end_to_end_with_sidecar_wavs(tmp_path):
+    """Full audio-peak sync: two videos whose sidecar audio claps are
+    offset by exactly 4 frames — sync must trim to matching content."""
+    fps = 10.0
+    # Video 1 starts 4 frames earlier: clap at t=1.0s in video 0's audio
+    # corresponds to t=0.6s in video 1's (it started 0.4s later).
+    p0 = write_test_video(tmp_path / "a0.mp4", n_frames=20, fps=fps)
+    p1 = write_test_video(tmp_path / "a1.mp4", n_frames=20, fps=fps)
+    w0 = write_test_wav(tmp_path / "a0.wav", sr=8000, seconds=2.5, peak_at=1.0)
+    w1 = write_test_wav(tmp_path / "a1.wav", sr=8000, seconds=2.5, peak_at=0.6)
+
+    from multi_camera_3d_pose_estimation_tpu.sync import compute_sync_frame_indices
+
+    idx, fps_list = compute_sync_frame_indices([p0, p1], audio_paths=[w0, w1])
+    assert idx == [10, 6]
+    assert all(abs(f - fps) < 0.5 for f in fps_list)
+
+    frames, outs = synchronize_videos(
+        [p0, p1], audio_paths=[w0, w1], save_as_files=False
+    )
+    assert len(frames) == 10  # min(20-10, 20-6)
+    # First synced pair: video0 frame 10 vs video1 frame 6.
+    assert abs(int(frames[0][0][..., 2].mean()) - 100) < 12
+    assert abs(int(frames[0][1][..., 2].mean()) - 60) < 12
