@@ -185,13 +185,20 @@ def sharded_refine_step(mesh, lr: float = 1e-3, betas=(0.9, 0.999),
     return step_jit, tx
 
 
-def run_clips_batched(pipeline: ShardedPosePipeline, clips_frames, bboxes=None):
+def run_clips_batched(pipeline: ShardedPosePipeline, clips_frames, bboxes=None,
+                      split: bool = True):
     """Process multiple synchronized clips concurrently on one chip/mesh.
 
     BASELINE config 5 ("8 synchronized 4-camera clips processed
     concurrently"): ``clips_frames`` (n_clips, T, C, H, W, 3) folds the
-    clip axis into time for one big jitted block, then splits the results
-    back per clip.  Returns a list of per-clip result dicts.
+    clip axis into time for one big jitted block.
+
+    - ``split=True``: returns a list of per-clip result dicts (convenient,
+      but materializes n_clips×3 device slices — measurable dispatch
+      overhead on high-latency device links).
+    - ``split=False``: returns ONE dict with a leading (n_clips, T, ...)
+      axis per key — zero extra dispatches; index on the host after a
+      single transfer.
     """
     clips_frames = jnp.asarray(clips_frames)
     n_clips, T = clips_frames.shape[0], clips_frames.shape[1]
@@ -201,9 +208,11 @@ def run_clips_batched(pipeline: ShardedPosePipeline, clips_frames, bboxes=None):
         bboxes = jnp.asarray(bboxes)
         flat_boxes = bboxes.reshape((n_clips * T,) + bboxes.shape[2:])
     out = pipeline.run(flat, flat_boxes)
-    split = {}
-    for key, val in out.items():
-        split[key] = val.reshape((n_clips, T) + val.shape[1:])
+    stacked = {
+        key: val.reshape((n_clips, T) + val.shape[1:]) for key, val in out.items()
+    }
+    if not split:
+        return stacked
     return [
-        {key: split[key][i] for key in split} for i in range(n_clips)
+        {key: stacked[key][i] for key in stacked} for i in range(n_clips)
     ]

@@ -155,3 +155,18 @@ def test_sharded_pipeline_simcc_path():
     assert out["heatmaps_2d"].shape == (8, 2, 17, 6)
     assert out["kpts_3d"].shape == (8, 17, 3)
     assert np.isfinite(np.asarray(out["heatmaps_2d"])).all()
+
+
+def test_run_clips_batched_unsplit(small_pipeline_parts):
+    from multi_camera_3d_pose_estimation_tpu.parallel import run_clips_batched
+
+    est, cam_stack = small_pipeline_parts
+    pipe = ShardedPosePipeline(est, cam_stack, mesh=None)
+    clips = np.random.default_rng(2).uniform(size=(3, 4, 2, 64, 64, 3)).astype(np.float32)
+    stacked = run_clips_batched(pipe, clips, split=False)
+    assert stacked["kpts_3d"].shape == (3, 4, 17, 3)
+    per_clip = run_clips_batched(pipe, clips, split=True)
+    np.testing.assert_allclose(
+        np.asarray(stacked["kpts_3d"][2]), np.asarray(per_clip[2]["kpts_3d"]),
+        equal_nan=True,
+    )

@@ -215,3 +215,19 @@ def test_sgd_refinement_vs_reference_cost_curve(rng, two_cams):
     # Step-for-step agreement of torch-Adam vs optax-Adam on the identical
     # objective: ~1e-6 relative (f32).
     np.testing.assert_allclose(our_costs[:n], ref_costs[:n], rtol=1e-4)
+
+
+def test_calculate_plot_lims_vs_reference(rng):
+    import plot_utils as ref_plot
+
+    from multi_camera_3d_pose_estimation_tpu.viz import calculate_plot_lims
+
+    dat = rng.normal([0, 50, -20], [1.0, 12.0, 90.0], size=(300, 3))
+    dat[5, 1] = np.nan
+    ref = ref_plot.calculate_plot_lims(dat)
+    ours = calculate_plot_lims(dat)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-12)
+    # Non-homogeneous variant too.
+    ref = ref_plot.calculate_plot_lims(dat, homogeneuous_lims=False)
+    ours = calculate_plot_lims(dat, homogeneous_lims=False)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-12)
