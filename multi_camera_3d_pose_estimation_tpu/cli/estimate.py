@@ -79,14 +79,18 @@ def estimate_pose_from_video(
     mesh=None,
     num_joints: int = 17,
     estimator_kwargs: dict | None = None,
+    intrinsic_params_dir: str | None = None,
+    extrinsic_params_dir: str | None = None,
 ):
     """Full 2D+3D estimation over synchronized recordings.
 
     - ``camera_names``: ordered list of camera names matching
-      ``recording_paths``; None loads `camera_names.pkl` from
-      ``<project_dir>/extrinsic_camera_parameters`` (reference
-      pose_estimation.py:265-266).
-    - Camera ``.dat`` files are read from the project directory layout.
+      ``recording_paths``; None loads `camera_names.pkl` from the
+      extrinsic directory (reference pose_estimation.py:265-266).
+    - ``intrinsic_params_dir``/``extrinsic_params_dir`` override the
+      default ``<project_dir>/{intrinsic,extrinsic}_camera_parameters``
+      (the reference exposes the same override, pose_estimation.py:259;
+      the orchestrator passes the configuration dir's extrinsics).
 
     Returns ``(kpts_2d, heatmaps_2d, kpts_3d)`` and writes the npy
     artifacts into ``save_dir`` (default: alongside the recordings).
@@ -102,18 +106,22 @@ def estimate_pose_from_video(
         if kpts_3d is not None:
             return kpts_2d, heatmaps, kpts_3d
 
+    intrinsic_params_dir = intrinsic_params_dir or os.path.join(
+        project_dir, "intrinsic_camera_parameters"
+    )
+    extrinsic_params_dir = extrinsic_params_dir or os.path.join(
+        project_dir, "extrinsic_camera_parameters"
+    )
     if camera_names is None:
-        cameras, _origin = load_camera_names(
-            os.path.join(project_dir, "extrinsic_camera_parameters")
-        )
+        cameras, _origin = load_camera_names(extrinsic_params_dir)
         camera_names = [cameras[k] for k in sorted(cameras)]
 
     cam_lists = []
     for name in camera_names:
         _P, plist = get_params_from_name(
             name,
-            intrinsic_params_dir=os.path.join(project_dir, "intrinsic_camera_parameters"),
-            extrinsic_params_dir=os.path.join(project_dir, "extrinsic_camera_parameters"),
+            intrinsic_params_dir=intrinsic_params_dir,
+            extrinsic_params_dir=extrinsic_params_dir,
         )
         K, R, T, dist = plist
         if K is None:

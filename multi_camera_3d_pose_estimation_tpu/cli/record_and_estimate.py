@@ -37,6 +37,7 @@ def record_and_estimate_pose(
     recording_length_seconds: float = 10,
     keep_unsynced_files: bool = False,
     checkpoint: str | None = None,
+    conf_threshold: float = 0.3,
     wait_for_user=None,
     **configure_kwargs,
 ):
@@ -87,6 +88,12 @@ def record_and_estimate_pose(
         pose_estimation_model=estimator_model,
         checkpoint=checkpoint,
         save_dir=recordings_folder,
+        conf_threshold=conf_threshold,
+        # The reference's layout: per-configuration extrinsics
+        # (record_and_estimate_pose.py:38 passes the configuration dir).
+        extrinsic_params_dir=os.path.join(
+            configuration_dir, "extrinsic_camera_parameters"
+        ),
     )
 
     log_path = write_recording_log(

@@ -79,3 +79,42 @@ def test_estimate_pose_from_video_artifacts(project):
     log = read_recording_log(log_path)
     assert log["estimator_model"] == "test_tiny"
     assert log["kpts_2d"].endswith("kpts_2d.npy")
+
+
+def test_record_and_estimate_orchestrator_with_prerecorded(tmp_path, rng):
+    """Full L4 orchestration with prerecorded clips: configure (manual
+    extrinsics) -> skip recording -> skip sync -> estimate -> manifest,
+    using the reference's configurations/<n>/ directory layout."""
+    from multi_camera_3d_pose_estimation_tpu.cli import record_and_estimate_pose
+
+    project = str(tmp_path)
+    K = np.array([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1]])
+    for name in ("left", "right"):
+        save_camera_intrinsics(K, np.zeros((1, 5)), name, root_path=project)
+
+    rec_dir = tmp_path / "clips"
+    rec_dir.mkdir()
+    paths = []
+    for name in ("left", "right"):
+        p = str(rec_dir / f"{name}_synced.mp4")
+        vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 15.0, (160, 120))
+        for _ in range(6):
+            vw.write(rng.integers(0, 255, (120, 160, 3), dtype=np.uint8).copy())
+        vw.release()
+        paths.append(p)
+
+    kpts_2d, heatmaps, kpts_3d = record_and_estimate_pose(
+        camera_names=["left", "right"],
+        estimator_model="test_tiny",
+        recording_paths=paths,
+        synchronize_video=False,
+        project_dir=project,
+        manual_measurements={"right": ([50.0, 0.0, 10.0], 3.0, 4.0)},
+        conf_threshold=-1.0,
+    )
+    assert kpts_2d.shape == (6, 17, 3, 2)
+    assert kpts_3d.shape == (6, 17, 3)
+    log_path = os.path.join(str(rec_dir), "recording_log.yaml")
+    assert os.path.exists(log_path)
+    log = read_recording_log(log_path)
+    assert log["estimator_model"] == "test_tiny"
