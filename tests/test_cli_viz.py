@@ -261,3 +261,23 @@ def test_main_dispatcher(capsys):
     with pytest.raises(SystemExit) as e:
         main(["bogus"])
     assert e.value.code == 2
+
+
+def test_configure_cameras_reference_display_yaml(tmp_path):
+    """The checkerboard display YAML (reference schema: r/c/boarder/width_mm)
+    produces the board image and derives the physical square size."""
+    project = str(tmp_path)
+    K = np.array([[600.0, 0, 320.0], [0, 600.0, 240.0], [0, 0, 1]])
+    for name in ("cA", "cB"):
+        save_camera_intrinsics(K, np.zeros((1, 5)), name, root_path=project)
+    num = configure_cameras(
+        camera_names={0: "cA", 1: "cB"},
+        project_dir=project,
+        origin_camera="cA",
+        checkerboard_display_parameter_yaml="examples/checkerboard_display_parameters.yaml",
+        manual_measurements={"cB": ([100.0, 0.0, 50.0], 3.0, 4.0)},
+    )
+    board = os.path.join(project, "configurations", str(num), "checkerboard.jpg")
+    assert os.path.exists(board)
+    img = cv2.imread(board)
+    assert img.shape[:2] == (2160, 3840)

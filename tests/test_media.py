@@ -165,3 +165,17 @@ def test_audio_sync_end_to_end_with_sidecar_wavs(tmp_path):
     # First synced pair: video0 frame 10 vs video1 frame 6.
     assert abs(int(frames[0][0][..., 2].mean()) - 100) < 12
     assert abs(int(frames[0][1][..., 2].mean()) - 60) < 12
+
+
+def test_load_image_frames_sequence(tmp_path):
+    from multi_camera_3d_pose_estimation_tpu.io.frames import load_frames
+
+    rng = np.random.default_rng(0)
+    for i in (0, 1, 2, 10):  # non-contiguous indices, numeric order matters
+        img = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+        img[..., 2] = i * 10
+        cv2.imwrite(str(tmp_path / f"frame{i}.jpg"), img)
+    frames = list(load_frames(frames_folder=str(tmp_path)))
+    assert len(frames) == 4
+    reds = [int(f[0][..., 2].mean()) for f in frames]
+    assert reds == sorted(reds)  # frame10 after frame2 (numeric, not lexicographic)
