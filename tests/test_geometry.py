@@ -105,3 +105,40 @@ def test_project_points_batched_shapes(camera_pair):
     pts = c["pts3d"].reshape(5, 12, 3)
     got = project_points(pts, c["K2"], c["R2"], c["T2"], dist_coeffs=c["d2"])
     assert got.shape == (5, 12, 2)
+
+
+def test_rodrigues_gradient_finite_at_zero():
+    """Regression: the origin camera's rvec is exactly 0; norm()'s NaN
+    gradient there used to poison global-norm clipping for ALL params."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_camera_3d_pose_estimation_tpu.ops import rodrigues_matrix
+
+    J = jax.jacrev(rodrigues_matrix)(jnp.zeros(3))
+    assert bool(jnp.isfinite(J).all())
+    # The limit is the skew generator: dR/drvec_k = d[r]x/dr_k at r=0.
+    expect = np.zeros((3, 3, 3))
+    # [r]x = [[0,-rz,ry],[rz,0,-rx],[-ry,rx,0]]
+    expect[0, 1, 2] = -1.0
+    expect[0, 2, 1] = 1.0
+    expect[1, 0, 2] = 1.0
+    expect[1, 2, 0] = -1.0
+    expect[2, 0, 1] = -1.0
+    expect[2, 1, 0] = 1.0
+    np.testing.assert_allclose(np.asarray(J), expect, atol=1e-6)
+
+    # And gradients THROUGH a projection at rvec=0 stay finite.
+    from multi_camera_3d_pose_estimation_tpu.ops import project_points
+
+    def loss(rv):
+        p = project_points(
+            jnp.asarray([[0.0, 0.0, 100.0]]),
+            jnp.eye(3) * 100.0,
+            rv,
+            jnp.zeros(3),
+        )
+        return jnp.sum(p)
+
+    g = jax.grad(loss)(jnp.zeros(3))
+    assert bool(jnp.isfinite(g).all())
