@@ -141,7 +141,7 @@ class TopDownEstimator:
         # requires heatmap H*W % 128 == 0 and a TPU whose toolchain compiles
         # Mosaic kernels.  Semantics identical to the jnp pair.
         self.use_fused_decode = bool(use_fused_decode) and decode == "heatmap"
-        self.flip_test = bool(flip_test)
+        self.flip_test = bool(flip_test)  # supported for both decode families
         self.decode_mode = decode_mode
         if self.flip_test:
             from ..training.augment import flip_permutation
@@ -235,6 +235,23 @@ def _predict(model, input_size, decode, hm_threshold, bbox_padding,
         cov_crop = moments[..., 2:] * stride * stride
     else:
         simcc_x, simcc_y = model.apply(variables, crops)
+        if flip_perm is not None:
+            # SimCC flip-test: mirrored forward, reverse the x-bin axis,
+            # swap left/right joints, average in PROBABILITY space (the two
+            # softmaxes aren't logit-additive); log(avg) re-enters the
+            # softmax decode unchanged since softmax(log p) = p.
+            fx, fy = model.apply(variables, crops[:, :, ::-1])
+            perm = jnp.asarray(flip_perm)
+            px = 0.5 * (
+                jax.nn.softmax(simcc_x, axis=-1)
+                + jax.nn.softmax(fx, axis=-1)[:, perm, ::-1]
+            )
+            py = 0.5 * (
+                jax.nn.softmax(simcc_y, axis=-1)
+                + jax.nn.softmax(fy, axis=-1)[:, perm]
+            )
+            simcc_x = jnp.log(px + 1e-12)
+            simcc_y = jnp.log(py + 1e-12)
         xy_crop, score = simcc_decode(simcc_x, simcc_y)
         # SimCC has no spatial covariance; build isotropic moments from the
         # softmax spread so downstream Gaussian refinement still works.

@@ -234,3 +234,15 @@ def test_flip_test_and_dark_decode_run(hrnet_small):
     est_plain = TopDownEstimator(model, variables, input_size=(32, 64), decode="heatmap")
     out_plain = est_plain.predict_batch(frames)
     assert np.asarray(out_plain["keypoints"]).shape == (2, 17, 3)
+
+
+def test_simcc_flip_test_runs(rtmpose_small):
+    model, variables = rtmpose_small
+    frames = np.random.default_rng(11).uniform(size=(2, 96, 96, 3)).astype(np.float32)
+    est = TopDownEstimator(model, variables, input_size=(32, 64), decode="simcc",
+                           flip_test=True)
+    out = est.predict_batch(frames)
+    k = np.asarray(out["keypoints"])
+    assert k.shape == (2, 17, 3) and np.isfinite(k).all()
+    # Averaging two softmaxes keeps scores in (0, 1].
+    assert (k[..., 2] > 0).all() and (k[..., 2] <= 1.0 + 1e-6).all()
