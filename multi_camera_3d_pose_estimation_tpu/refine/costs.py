@@ -56,15 +56,26 @@ def gaussian_log_likelihood(
     the log-det normalization is returned (reference :182-218).
     """
     diff = x - mean
+    # NaN observations (missing joints) must yield NaN log-likelihoods for
+    # nan_mean to exclude — but computed through a SANITIZED branch: a plain
+    # masked output still back-propagates 0·NaN = NaN into the finite
+    # parameters (the torch reference dodges this because in-place
+    # ``tensor[~mask] = 0`` detaches those entries from its graph).
+    ok = jnp.all(jnp.isfinite(diff), axis=-1)
+    diff = jnp.where(ok[..., None], diff, 0.0)
+    nan = jnp.asarray(jnp.nan, diff.dtype)
     if cov_inv is not None:
         quad = -0.5 * jnp.einsum("...i,...ij,...j->...", diff, cov_inv, diff)
-        return quad
+        return jnp.where(ok, quad, nan)
     cov = cov + eps * jnp.eye(2, dtype=cov.dtype)
+    cov = jnp.where(
+        ok[..., None, None], cov, jnp.eye(2, dtype=cov.dtype)
+    )  # keep inv/det finite on masked rows
     ci = jnp.linalg.inv(cov)
     quad = -0.5 * jnp.einsum("...i,...ij,...j->...", diff, ci, diff)
     det = jnp.linalg.det(cov)
     norm = 0.5 * jnp.log((2.0 * jnp.pi) ** 2 * det + eps)
-    return quad - norm
+    return jnp.where(ok, quad - norm, nan)
 
 
 def precompute_cov_inverse(
@@ -83,6 +94,10 @@ def precompute_cov_inverse(
         g = jnp.broadcast_to(g[:, :1], g.shape)
     cov = g[..., 2:].reshape(g.shape[:-1] + (2, 2))
     cov = cov + eps * jnp.eye(2, dtype=cov.dtype)
+    # NaN covariances (missing observations) -> identity so inv() stays
+    # finite; the likelihood masks those entries via their NaN MEANS.
+    ok = jnp.all(jnp.isfinite(cov), axis=(-2, -1), keepdims=True)
+    cov = jnp.where(ok, cov, jnp.eye(2, dtype=cov.dtype))
     return jnp.linalg.inv(cov)
 
 

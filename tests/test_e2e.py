@@ -118,3 +118,66 @@ def test_record_and_estimate_orchestrator_with_prerecorded(tmp_path, rng):
     assert os.path.exists(log_path)
     log = read_recording_log(log_path)
     assert log["estimator_model"] == "test_tiny"
+
+
+def test_nan_missing_data_flows_through_all_stages(rng):
+    """SURVEY.md §5: low-confidence joints become NaN and flow through
+    triangulation, interpolation, and refinement without poisoning
+    neighbouring joints or the optimizer."""
+    import jax.numpy as jnp
+
+    from multi_camera_3d_pose_estimation_tpu.ops import triangulate_top2
+    from multi_camera_3d_pose_estimation_tpu.refine import (
+        PoseRefiner,
+        linear_interpolation,
+    )
+    from tests.conftest import project_np
+
+    T, J, C = 12, 5, 2
+    K = np.array([[400.0, 0, 160.0], [0, 400.0, 120.0], [0, 0, 1]])
+    Rs, Ts = [], []
+    for c in range(C):
+        th = np.deg2rad(-15 + 30 * c)
+        Rs.append(np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                            [-np.sin(th), 0, np.cos(th)]]))
+        Ts.append(np.array([30.0 * c - 15, 0.0, 5.0 * c]))
+    t = np.linspace(0, 2 * np.pi, T)[:, None, None]
+    traj = rng.uniform([-20, -20, 280], [20, 20, 340], (1, J, 3)) + 5 * np.sin(t)
+
+    kpts = np.stack(
+        [project_np(traj.reshape(-1, 3), K, Rs[c], Ts[c]).reshape(T, J, 2)
+         for c in range(C)], axis=2,
+    )  # (T, J, C, 2)
+    conf = np.ones((T, J, C))
+    # Joint 2 lost in BOTH views at frames 4-6 → NaN 3D there.
+    kpts[4:7, 2] = np.nan
+    conf[4:7, 2] = np.nan
+
+    k3d = np.asarray(triangulate_top2(
+        jnp.asarray(kpts), jnp.asarray(conf),
+        np.stack([K] * C), np.zeros((C, 5)), np.stack(Rs), np.stack(Ts),
+    ))
+    assert np.isnan(k3d[4:7, 2]).all()
+    assert np.isfinite(np.delete(k3d, [4, 5, 6], axis=0)).all()
+
+    # Interpolation: the NaN gap's neighbours fill from clean stats; the
+    # corrupted rows keep original (NaN) values under default fallback.
+    smoothed = np.asarray(linear_interpolation(k3d))
+    assert np.isfinite(smoothed[:3]).all()
+
+    # Refinement: NaN-initialized rows would poison Adam (NaN grads touch
+    # everything via clipping), so init from the interpolated trajectory
+    # with NaNs replaced — the likelihood's nan_mean tolerates remaining
+    # NaN observations.
+    gauss = np.zeros((T, C, J, 6))
+    for c in range(C):
+        gauss[:, c, :, :2] = kpts[:, :, c]
+        gauss[:, c, :, 2] = 9.0
+        gauss[:, c, :, 5] = 9.0
+    init = np.where(np.isfinite(smoothed), smoothed, np.nanmean(traj, axis=(0, 1)))
+    cams = {c: [K, Rs[c], Ts[c], np.zeros(5)] for c in range(C)}
+    ref = PoseRefiner(gauss, init, cams)
+    res = ref.sgd_optimize(lr=0.02, max_iter=60, patience=60,
+                           lambda_smooth=0.0, lambda_body_length=0.0)
+    assert np.isfinite(res.trajectory).all()
+    assert np.isfinite(res.cost_history["total_cost"]).all()
