@@ -153,7 +153,10 @@ def body_length_cost(
     ||a - μb||² / ||a||² — pose scale is free, proportions are constrained.
     """
     vec = trajectory[:, edge_end, :] - trajectory[:, edge_start, :]  # (B, E, 3)
-    lengths = jnp.sqrt(jnp.sum(vec * vec, axis=-1))  # (B, E)
+    # Clamped sqrt: the gradient of sqrt(x) at x=0 is inf/NaN, and two
+    # coincident joints (degenerate init, NaN-replaced rows) would poison
+    # every parameter through global-norm clipping.
+    lengths = jnp.sqrt(jnp.maximum(jnp.sum(vec * vec, axis=-1), 1e-12))  # (B, E)
     B = trajectory.shape[0]
     # Layout parity with create_body_length_vect (pose_refinement.py:768-781):
     # edge-major, each target repeated B times.

@@ -218,3 +218,19 @@ def test_verbose_progress_prints(rng, capsys):
                      print_frequency=10, lambda_smooth=0.0, lambda_body_length=0.0)
     out = capsys.readouterr().out
     assert "Iteration" in out and "total_cost" in out
+
+
+def test_body_length_cost_gradient_finite_on_coincident_joints():
+    """sqrt'(0) is NaN: coincident joints (degenerate init) must not poison
+    the gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_camera_3d_pose_estimation_tpu.refine.costs import body_length_cost
+
+    traj = jnp.zeros((4, 3, 3))  # ALL joints coincide
+    e_s = jnp.asarray([0, 1])
+    e_e = jnp.asarray([1, 2])
+    tgt = jnp.asarray([30.0, 40.0])
+    g = jax.grad(lambda t: body_length_cost(t, e_s, e_e, tgt))(traj)
+    assert bool(jnp.isfinite(g).all())
