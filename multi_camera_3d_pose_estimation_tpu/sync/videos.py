@@ -25,7 +25,11 @@ import numpy as np
 from ..io.frames import VideoReader
 from .audio import get_loudest_point
 
-__all__ = ["synchronize_videos", "compute_sync_frame_indices"]
+__all__ = [
+    "synchronize_videos",
+    "compute_sync_frame_indices",
+    "build_sync_inspection_grid",
+]
 
 
 def compute_sync_frame_indices(video_paths, search_seconds: float = 30.0,
@@ -172,3 +176,60 @@ def synchronize_videos(
         for p in video_paths:
             os.remove(p)
     return synchronized_frames, output_paths
+
+
+def build_sync_inspection_grid(video_paths, sync_indices,
+                               frame_range=tuple(range(-5, 6)),
+                               thumb_width: int = 160):
+    """Compose the sync-candidate frames into one image per camera row.
+
+    Headless replacement for the reference's interactive grid UI
+    (display_and_select_frame / create_scrollable_grid,
+    synchronize_videos.py:76-193): each row is one camera, each column the
+    frame at ``sync_index + offset``, with the audio-derived candidate in
+    the centre.  Save the returned (H, W, 3) uint8 image and pick offsets
+    remotely; feed the adjusted indices back via
+    ``adjusted_sync_frame_indices``.
+    """
+    import cv2
+
+    rows = []
+    for path, sync_idx in zip(video_paths, sync_indices):
+        reader = VideoReader(path, bgr=True)
+        scale = thumb_width / reader.width
+        th = max(int(reader.height * scale), 1)
+        wanted = [sync_idx + off for off in frame_range]
+        lo = max(min(wanted), 0)
+        hi = max(wanted)
+        # Sequential decode up to the window (no seek dependency).
+        for _ in range(lo):
+            if reader.read_block(1).shape[0] == 0:
+                break
+        cells = []
+        idx = lo
+        frames_window = {}
+        while idx <= hi:
+            block = reader.read_block(1)
+            if block.shape[0] == 0:
+                break
+            frames_window[idx] = block[0]
+            idx += 1
+        reader.close()
+        for off in frame_range:
+            i = sync_idx + off
+            frame = frames_window.get(i)
+            if frame is None:
+                cell = np.zeros((th, thumb_width, 3), np.uint8)
+            else:
+                cell = cv2.resize(frame, (thumb_width, th))
+            color = (0, 255, 0) if off == 0 else (255, 255, 255)
+            cv2.rectangle(cell, (0, 0), (thumb_width - 1, th - 1), color, 1)
+            cv2.putText(cell, f"{off:+d}", (4, 14), cv2.FONT_HERSHEY_SIMPLEX,
+                        0.4, color, 1)
+            cells.append(cell)
+        rows.append(np.concatenate(cells, axis=1))
+    width = max(r.shape[1] for r in rows)
+    rows = [
+        np.pad(r, ((0, 0), (0, width - r.shape[1]), (0, 0))) for r in rows
+    ]
+    return np.concatenate(rows, axis=0)

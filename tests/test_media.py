@@ -179,3 +179,21 @@ def test_load_image_frames_sequence(tmp_path):
     assert len(frames) == 4
     reds = [int(f[0][..., 2].mean()) for f in frames]
     assert reds == sorted(reds)  # frame10 after frame2 (numeric, not lexicographic)
+
+
+def test_sync_inspection_grid(tmp_path):
+    from multi_camera_3d_pose_estimation_tpu.sync import build_sync_inspection_grid
+
+    p0 = write_test_video(tmp_path / "g0.mp4", n_frames=20, fps=10)
+    p1 = write_test_video(tmp_path / "g1.mp4", n_frames=20, fps=10)
+    grid = build_sync_inspection_grid([p0, p1], [10, 6], frame_range=range(-2, 3))
+    # 2 camera rows x 5 columns of 160-wide thumbs.
+    assert grid.dtype == np.uint8
+    assert grid.shape[1] == 5 * 160
+    assert grid.shape[0] > 0 and grid.shape[0] % 2 == 0
+    # Centre column of row 0 shows frame 10 (red ≈ 100), row 1 frame 6 (≈ 60).
+    th = grid.shape[0] // 2
+    mid0 = grid[5:th-5, 2*160+5:3*160-5, 2].mean()
+    mid1 = grid[th+5:-5, 2*160+5:3*160-5, 2].mean()
+    assert abs(mid0 - 100) < 15, mid0
+    assert abs(mid1 - 60) < 15, mid1
