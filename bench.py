@@ -102,5 +102,105 @@ def main():
     )
 
 
+
+
+
+def bench_triangulation():
+    """BASELINE config 1: cached-2D DLT triangulation throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_camera_3d_pose_estimation_tpu.ops import triangulate_top2
+
+    rng = np.random.default_rng(0)
+    T, J, C = 4096, 17, 2
+    kpts = jnp.asarray(rng.uniform(0, 1000, (T, J, C, 2)), jnp.float32)
+    conf = jnp.ones((T, J, C), jnp.float32)
+    Ks = jnp.asarray(np.tile(np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]]), (C, 1, 1)), jnp.float32)
+    Rs = jnp.asarray(np.stack([np.eye(3)] * C), jnp.float32)
+    Ts = jnp.asarray(np.stack([np.zeros(3), [-30.0, 0, 0]]), jnp.float32)
+    ds = jnp.zeros((C, 5), jnp.float32)
+
+    # The solve is so fast (~μs for 70k points) that per-dispatch link
+    # latency would dominate any host-side loop; scan the repetitions
+    # INSIDE one jitted call with a dependent perturbation so every
+    # iteration truly executes.
+    K_ITERS = 200
+
+    @jax.jit
+    def fn(k):
+        def body(acc, _):
+            out = triangulate_top2(k + acc * 1e-9, conf, Ks, ds, Rs, Ts)
+            return acc + jnp.nansum(out), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=K_ITERS)
+        return acc
+
+    fn(kpts).block_until_ready()
+    n = 3
+    t0 = time.perf_counter()
+    acc = jnp.zeros(())
+    for _ in range(n):
+        acc = acc + fn(kpts + acc * 1e-9)
+    acc.block_until_ready()
+    dt = (time.perf_counter() - t0) / (n * K_ITERS)
+    pts_per_s = T * J / dt
+    print(json.dumps({
+        "metric": "2-cam DLT triangulation from cached 2D (config 1)",
+        "value": round(pts_per_s / 1e6, 2), "unit": "Mpoints/sec/chip",
+        # Reference works in 512-point OpenCV chunks; ~1 ms/chunk is a
+        # generous CPU estimate -> 0.5 Mpts/s.
+        "vs_baseline": round(pts_per_s / 0.5e6, 1),
+    }))
+
+
+def bench_refinement():
+    """BASELINE config 4: 400-frame 4-camera refinement epochs/sec."""
+    import jax
+
+    from multi_camera_3d_pose_estimation_tpu.refine import PoseRefiner
+
+    rng = np.random.default_rng(0)
+    T, J, C = 400, 17, 4
+    t = np.linspace(0, 8 * np.pi, T)[:, None, None]
+    traj = rng.uniform([-30, -30, 280], [30, 30, 360], (1, J, 3)) + 10 * np.sin(t)
+    gauss = np.zeros((T, C, J, 6))
+    cams = {}
+    for c in range(C):
+        K = np.array([[900.0, 0, 640], [0, 900.0, 360], [0, 0, 1]])
+        th = np.deg2rad(-30 + 20 * c)
+        R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]])
+        Tv = np.array([40.0 * c - 60, 0.0, 10.0 * c])
+        cams[c] = [K, R, Tv, np.zeros(5)]
+        cam = traj.reshape(-1, 3) @ R.T + Tv
+        proj = np.stack([K[0, 0] * cam[:, 0] / cam[:, 2] + K[0, 2],
+                         K[1, 1] * cam[:, 1] / cam[:, 2] + K[1, 2]], -1).reshape(T, J, 2)
+        gauss[:, c, :, :2] = proj
+        gauss[:, c, :, 2] = 16.0
+        gauss[:, c, :, 5] = 16.0
+    noisy = traj + rng.normal(0, 3.0, traj.shape)
+    body = {"left_shoulder_left_elbow": 38.0, "left_hip_left_knee": 51.0}
+    ref = PoseRefiner(gauss, noisy, cams, body_lengths=body)
+    kwargs = dict(lr=0.01, lambda_smooth=0.01, lambda_body_length=1.0,
+                  batch_size=400, patience=10**9, tolerance=0.0)
+    ref.sgd_optimize(max_iter=100, **kwargs)  # compile + warm
+    t0 = time.perf_counter()
+    ref.sgd_optimize(max_iter=2000, **kwargs)
+    dt = time.perf_counter() - t0
+    eps = 2000 / dt
+    print(json.dumps({
+        "metric": "400-frame/17-joint/4-cam refinement (config 4)",
+        "value": round(eps, 1), "unit": "epochs/sec/chip",
+        "vs_baseline": round(eps / 3.17, 1),  # measured reference torch-CPU rate
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    cfg = sys.argv[1] if len(sys.argv) > 1 else "main"
+    {
+        "main": main,           # headline: config 2 (HRNet-W32 2D+3D)
+        "triangulation": bench_triangulation,  # config 1
+        "refinement": bench_refinement,        # config 4
+    }[cfg]()

@@ -38,6 +38,8 @@ def record_and_estimate_pose(
     keep_unsynced_files: bool = False,
     checkpoint: str | None = None,
     conf_threshold: float = 0.3,
+    decode_mode: str = "default",
+    flip_test: bool = False,
     wait_for_user=None,
     **configure_kwargs,
 ):
@@ -89,6 +91,7 @@ def record_and_estimate_pose(
         checkpoint=checkpoint,
         save_dir=recordings_folder,
         conf_threshold=conf_threshold,
+        estimator_kwargs={"decode_mode": decode_mode, "flip_test": flip_test},
         # The reference's layout: per-configuration extrinsics
         # (record_and_estimate_pose.py:38 passes the configuration dir).
         extrinsic_params_dir=os.path.join(
@@ -119,6 +122,8 @@ def main(argv=None):
     p.add_argument("--recording_length_seconds", type=int)
     p.add_argument("--keep_unsynced_files", action="store_true")
     p.add_argument("--checkpoint")
+    p.add_argument("--decode_mode", choices=["default", "dark"])
+    p.add_argument("--flip_test", action="store_true", default=None)
     args = p.parse_args(argv)
     # Drop Nones so the function defaults win (reference :81-84).
     kwargs = {k: v for k, v in vars(args).items() if v is not None}
