@@ -31,6 +31,24 @@ __all__ = [
 ]
 
 
+def _inv2x2(cov: jax.Array) -> jax.Array:
+    """Closed-form batched 2×2 inverse (TPU's generic linalg.inv lowers to
+    a slow per-matrix loop, like eigh — see ops.triangulation)."""
+    a = cov[..., 0, 0]
+    b = cov[..., 0, 1]
+    c = cov[..., 1, 0]
+    d = cov[..., 1, 1]
+    det = a * d - b * c
+    inv_det = 1.0 / det
+    row0 = jnp.stack([d * inv_det, -b * inv_det], axis=-1)
+    row1 = jnp.stack([-c * inv_det, a * inv_det], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def _det2x2(cov: jax.Array) -> jax.Array:
+    return cov[..., 0, 0] * cov[..., 1, 1] - cov[..., 0, 1] * cov[..., 1, 0]
+
+
 def nan_mean(x: jax.Array) -> jax.Array:
     """Mean over finite elements (grad-preserving; reference
     pose_refinement.py:221-229)."""
@@ -71,9 +89,9 @@ def gaussian_log_likelihood(
     cov = jnp.where(
         ok[..., None, None], cov, jnp.eye(2, dtype=cov.dtype)
     )  # keep inv/det finite on masked rows
-    ci = jnp.linalg.inv(cov)
+    ci = _inv2x2(cov)
     quad = -0.5 * jnp.einsum("...i,...ij,...j->...", diff, ci, diff)
-    det = jnp.linalg.det(cov)
+    det = _det2x2(cov)
     norm = 0.5 * jnp.log((2.0 * jnp.pi) ** 2 * det + eps)
     return jnp.where(ok, quad - norm, nan)
 
@@ -98,7 +116,7 @@ def precompute_cov_inverse(
     # finite; the likelihood masks those entries via their NaN MEANS.
     ok = jnp.all(jnp.isfinite(cov), axis=(-2, -1), keepdims=True)
     cov = jnp.where(ok, cov, jnp.eye(2, dtype=cov.dtype))
-    return jnp.linalg.inv(cov)
+    return _inv2x2(cov)
 
 
 def likelihood_cost(
