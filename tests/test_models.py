@@ -246,3 +246,21 @@ def test_simcc_flip_test_runs(rtmpose_small):
     assert k.shape == (2, 17, 3) and np.isfinite(k).all()
     # Averaging two softmaxes keeps scores in (0, 1].
     assert (k[..., 2] > 0).all() and (k[..., 2] <= 1.0 + 1e-6).all()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Registry restores orbax directory checkpoints (the npz path's
+    sibling branch)."""
+    import orbax.checkpoint as ocp
+
+    from multi_camera_3d_pose_estimation_tpu.models import build_estimator
+
+    est = build_estimator("test_tiny", seed=3, dtype=jnp.float32)
+    ckpt_dir = str(tmp_path / "orbax_ckpt")
+    ocp.StandardCheckpointer().save(ckpt_dir, est.variables)
+
+    est2 = build_estimator("test_tiny", checkpoint=ckpt_dir, seed=0,
+                           dtype=jnp.float32)
+    a = jax.tree.leaves(est.variables)
+    b = jax.tree.leaves(est2.variables)
+    assert all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
