@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["load_torch_hrnet", "torch_state_dict_to_flat"]
+__all__ = ["load_torch_hrnet", "load_torch_rtmpose", "torch_state_dict_to_flat"]
 
 
 def torch_state_dict_to_flat(path: str) -> dict[str, np.ndarray]:
@@ -44,13 +44,45 @@ def _ordered_torch_params(state: dict[str, np.ndarray]):
         yield k, v
 
 
-def load_torch_hrnet(variables: dict, path: str) -> dict:
+def hrnet_top_level_order(cfg: dict | None = None) -> dict[str, int]:
+    """Construction-order rank of HRNet's top-level flax module names.
+
+    Flax auto-names (`ConvBN_0`, `Bottleneck_0`, …) use per-type counters,
+    so a plain lexicographic sort puts all Bottlenecks before the stem
+    ConvBNs — scrambled relative to the torch state dict, which is in
+    registration (construction) order: stem → layer1 → transition1 →
+    stage2 → transition2 → stage3 → transition3 → stage4 → head.  This
+    table restores construction order at the top level; within a module
+    the natural sort already matches (sub-counters reset per parent and
+    creation order happens to be alphabetical there).
+    """
+    from .hrnet import HRNET_W32
+
+    modules = (cfg or HRNET_W32)["modules"]
+    order = ["ConvBN_0", "ConvBN_1"]                     # stem
+    order += [f"Bottleneck_{i}" for i in range(4)]       # stage 1
+    order += ["ConvBN_2", "ConvBN_3"]                    # transition 1
+    h = 0
+    for n_mod, trans in zip(modules[1:], ("ConvBN_4", "ConvBN_5", None)):
+        for _ in range(n_mod):
+            order.append(f"HRModule_{h}")
+            h += 1
+        if trans is not None:
+            order.append(trans)
+    order.append("head")
+    return {name: i for i, name in enumerate(order)}
+
+
+def load_torch_hrnet(variables: dict, path: str, cfg: dict | None = None) -> dict:
     """Fill our HRNet variables pytree from a torch HRNet state dict.
 
     ``variables``: {"params": ..., "batch_stats": ...} from `HRNet.init`.
+    ``cfg``: the HRNet cfg dict the variables were built with (defaults to
+    HRNET_W32) — needed to reconstruct construction order of the stages.
     Returns a new pytree of the same structure.
     """
     state = torch_state_dict_to_flat(path)
+    top_rank = hrnet_top_level_order(cfg)
 
     # Group torch entries per layer: conv weights, bn (γ, β, μ, σ²).
     convs: list[tuple[str, np.ndarray]] = []
@@ -68,12 +100,22 @@ def load_torch_hrnet(variables: dict, path: str) -> dict:
             bns[base][field] = arr
 
     # Our side: flatten with paths; convs are 'kernel' with ndim 4.
-    # tree_flatten sorts dict keys LEXICOGRAPHICALLY ('ConvBN_10' before
-    # 'ConvBN_2'), which would scramble the construction-order matching —
-    # re-sort the flat list with a numeric-aware key so module indices
-    # order as built.
+    # Sort into construction order: top-level modules by `top_rank`
+    # (tree_flatten's lexicographic order scrambles them), deeper levels
+    # by a numeric-aware natural key so 'ConvBN_10' sorts after 'ConvBN_2'.
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
-    flat = sorted(flat, key=lambda pv: [_natural(k) for k in _path_keys(pv[0])])
+
+    def _construction_key(pv):
+        keys = _path_keys(pv[0])  # ['params'|'batch_stats', top, ...rest]
+        top = keys[1] if len(keys) > 1 else keys[0]
+        if top not in top_rank:
+            raise ValueError(
+                f"unexpected top-level module '{top}' — does `cfg` match the "
+                f"model these variables came from?"
+            )
+        return (top_rank[top], [_natural(k) for k in keys[2:]])
+
+    flat = sorted(flat, key=_construction_key)
     our_convs = [(p, v) for p, v in flat if v.ndim == 4]
     params_scale = [
         (p, v) for p, v in flat if _leaf_name(p) == "scale"
@@ -138,6 +180,137 @@ def load_torch_hrnet(variables: dict, path: str) -> dict:
         return leaf
 
     return jax.tree_util.tree_map_with_path(apply, variables)
+
+
+def _conv_w(a: np.ndarray) -> np.ndarray:
+    return np.transpose(a, (2, 3, 1, 0))  # OIHW -> HWIO (groups included)
+
+
+def _linear_w(a: np.ndarray) -> np.ndarray:
+    return a.T  # torch (out, in) -> flax (in, out)
+
+
+def _rtmpose_key_table(cfg: dict | None, num_joints: int = 17):
+    """(torch_key, flax_path, transform) triplets for the RTMPose layout.
+
+    Name-based (not order-based): our flax RTMPose names every submodule
+    after the MMPose torch hierarchy (models/rtmpose.py), so the mapping
+    is mechanical — `backbone.stage1.0` ↔ `backbone/stage1_down`, the
+    RTMCC head fields 1:1.  Any key absent from the checkpoint raises.
+    """
+    from .rtmpose import RTMPOSE_T, _P5
+
+    cfg = cfg or RTMPOSE_T
+    table: list[tuple[str, tuple[str, ...], Any]] = []
+
+    def convmodule(tprefix: str, fprefix: tuple[str, ...]):
+        table.append((f"{tprefix}.conv.weight", ("params", *fprefix, "conv", "kernel"),
+                      _conv_w))
+        table.append((f"{tprefix}.bn.weight", ("params", *fprefix, "bn", "scale"), None))
+        table.append((f"{tprefix}.bn.bias", ("params", *fprefix, "bn", "bias"), None))
+        table.append((f"{tprefix}.bn.running_mean",
+                      ("batch_stats", *fprefix, "bn", "mean"), None))
+        table.append((f"{tprefix}.bn.running_var",
+                      ("batch_stats", *fprefix, "bn", "var"), None))
+
+    for i in range(3):
+        convmodule(f"backbone.stem.{i}", ("backbone", f"stem_{i}"))
+
+    def d(n):
+        return max(int(round(n * cfg["deepen"])), 1)
+
+    for s, (_ch, nb, _add_id, use_spp) in enumerate(_P5, start=1):
+        t = f"backbone.stage{s}"
+        f = ("backbone",)
+        convmodule(f"{t}.0", (*f, f"stage{s}_down"))
+        csp_idx = 1
+        if use_spp:
+            convmodule(f"{t}.1.conv1", (*f, f"stage{s}_spp", "conv1"))
+            convmodule(f"{t}.1.conv2", (*f, f"stage{s}_spp", "conv2"))
+            csp_idx = 2
+        c = f"{t}.{csp_idx}"
+        fc = (*f, f"stage{s}_csp")
+        convmodule(f"{c}.main_conv", (*fc, "main_conv"))
+        convmodule(f"{c}.short_conv", (*fc, "short_conv"))
+        convmodule(f"{c}.final_conv", (*fc, "final_conv"))
+        for b in range(d(nb)):
+            bb = (*fc, f"blocks_{b}")
+            convmodule(f"{c}.blocks.{b}.conv1", (*bb, "conv1"))
+            convmodule(f"{c}.blocks.{b}.conv2.depthwise_conv",
+                       (*bb, "conv2", "depthwise_conv"))
+            convmodule(f"{c}.blocks.{b}.conv2.pointwise_conv",
+                       (*bb, "conv2", "pointwise_conv"))
+        table.append((f"{c}.attention.fc.weight",
+                      ("params", *fc, "attention", "fc", "kernel"), _conv_w))
+        table.append((f"{c}.attention.fc.bias",
+                      ("params", *fc, "attention", "fc", "bias"), None))
+
+    # RTMCC head.
+    table.append(("head.final_layer.weight", ("params", "final_layer", "kernel"),
+                  _conv_w))
+    table.append(("head.final_layer.bias", ("params", "final_layer", "bias"), None))
+    table.append(("head.mlp.0.g", ("params", "mlp_ln", "g"), None))
+    table.append(("head.mlp.1.weight", ("params", "mlp_fc", "kernel"), _linear_w))
+    table.append(("head.gau.ln.g", ("params", "gau", "ln", "g"), None))
+    table.append(("head.gau.uv.weight", ("params", "gau", "uv", "kernel"), _linear_w))
+    table.append(("head.gau.gamma", ("params", "gau", "gamma"), None))
+    table.append(("head.gau.beta", ("params", "gau", "beta"), None))
+    table.append(("head.gau.o.weight", ("params", "gau", "o", "kernel"), _linear_w))
+    table.append(("head.gau.res_scale.scale", ("params", "gau", "res_scale"), None))
+    table.append(("head.cls_x.weight", ("params", "cls_x", "kernel"), _linear_w))
+    table.append(("head.cls_y.weight", ("params", "cls_y", "kernel"), _linear_w))
+    return table
+
+
+def load_torch_rtmpose(variables: dict, path: str, cfg: dict | None = None) -> dict:
+    """Fill our RTMPose variables pytree from an MMPose RTMPose state dict.
+
+    The reference's rtmpose-t checkpoint surface
+    (examples/model_paths.yaml:14-18).  Strict: every expected key must
+    exist with the expected (transposed) shape.
+    """
+    state = torch_state_dict_to_flat(path)
+    state = {k.removeprefix("module."): v for k, v in state.items()}
+
+    updates: dict[tuple[str, ...], np.ndarray] = {}
+    missing: list[str] = []
+    for tkey, fpath, tf in _rtmpose_key_table(cfg):
+        if tkey not in state:
+            missing.append(tkey)
+            continue
+        arr = state[tkey]
+        updates[fpath] = tf(arr) if tf else arr
+    if missing:
+        raise ValueError(
+            f"RTMPose checkpoint missing {len(missing)} expected keys, e.g. "
+            f"{missing[:5]} — is this an MMPose RTMPose checkpoint matching "
+            f"the configured widen/deepen factors?"
+        )
+
+    applied = set()
+
+    def apply(p, leaf):
+        key = tuple(_path_keys(p))
+        if key in updates:
+            new = updates[key]
+            if tuple(new.shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(key)}: checkpoint "
+                    f"{new.shape} vs model {leaf.shape}"
+                )
+            applied.add(key)
+            return jnp.asarray(new, leaf.dtype)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(apply, variables)
+    unapplied = set(updates) - applied
+    if unapplied:
+        raise ValueError(
+            f"{len(unapplied)} converted tensors matched no model parameter, "
+            f"e.g. {sorted('/'.join(k) for k in unapplied)[:5]} — flax/torch "
+            f"layout drift?"
+        )
+    return out
 
 
 def _path_keys(path) -> list[str]:

@@ -42,11 +42,16 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # Explicit symmetric padding (k//2 each side) rather than "SAME":
+        # identical for stride 1, but for stride-2 convs XLA's SAME pads
+        # (0, 1) while torch's padding=1 pads (1, 1) — a one-pixel shift
+        # that would break MMPose-checkpoint numerics (models/convert.py).
+        p = self.kernel // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((p, p), (p, p)),
             use_bias=False,
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -105,16 +110,24 @@ def _upsample_nearest(x, factor: int):
 
 
 class FuseLayer(nn.Module):
-    """Full cross-resolution fusion: every output branch sums all inputs."""
+    """Full cross-resolution fusion: every output branch sums all inputs.
+
+    ``out_branches``: number of output branches to produce (default: all).
+    MMPose's final stage-4 module fuses only into branch 0
+    (multiscale_output=False) — matching that keeps torch checkpoints
+    loadable AND skips the unused low-resolution fusions.
+    """
 
     widths: Sequence[int]
+    out_branches: int | None = None
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
         n = len(xs)
+        n_out = self.out_branches if self.out_branches is not None else n
         outs = []
-        for i in range(n):
+        for i in range(n_out):
             acc = None
             for j in range(n):
                 y = xs[j]
@@ -143,6 +156,7 @@ class HRModule(nn.Module):
 
     widths: Sequence[int]
     num_blocks: int = 4
+    multiscale_output: bool = True
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -152,7 +166,10 @@ class HRModule(nn.Module):
             for _ in range(self.num_blocks):
                 x = BasicBlock(self.widths[b], dtype=self.dtype)(x, train)
             ys.append(x)
-        return FuseLayer(self.widths, dtype=self.dtype)(ys, train)
+        out_branches = None if self.multiscale_output else 1
+        return FuseLayer(self.widths, out_branches=out_branches, dtype=self.dtype)(
+            ys, train
+        )
 
 
 class HRNet(nn.Module):
@@ -201,10 +218,18 @@ class HRNet(nn.Module):
         for _ in range(modules[2]):
             xs = HRModule(widths[:3], dtype=dt)(xs, train)
 
-        # Transition 3: add branch 4.
+        # Transition 3: add branch 4.  The LAST module of the last stage
+        # fuses only into branch 0 (MMPose multiscale_output=False) unless
+        # cfg["final_multiscale"] — the head reads branch 0 only, so the
+        # other fusions would be dead compute (and absent from MMPose
+        # checkpoints, models/convert.py).
         xs = xs + [ConvBN(widths[3], 3, 2, dtype=dt)(xs[-1], train)]
-        for _ in range(modules[3]):
-            xs = HRModule(widths[:4], dtype=dt)(xs, train)
+        final_ms = bool(cfg.get("final_multiscale", False))
+        for m in range(modules[3]):
+            last = m == modules[3] - 1
+            xs = HRModule(
+                widths[:4], multiscale_output=final_ms or not last, dtype=dt
+            )(xs, train)
 
         # Head: 1×1 conv on the highest-resolution branch.
         heat = nn.Conv(

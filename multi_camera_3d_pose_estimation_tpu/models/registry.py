@@ -104,22 +104,26 @@ def build_estimator(
         )
     variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
     if checkpoint:
-        variables = _load_checkpoint(variables, checkpoint, spec["family"])
+        variables = _load_checkpoint(variables, checkpoint, spec["family"], spec["cfg"])
     return TopDownEstimator(
         model, variables, input_size=spec["input_size"], decode=spec["decode"],
         **estimator_kwargs,
     )
 
 
-def _load_checkpoint(variables, path: str, family: str):
+def _load_checkpoint(variables, path: str, family: str, cfg: dict | None = None):
     if not os.path.exists(path):
         raise FileNotFoundError(path)
     if path.endswith((".pth", ".pt")):
-        from .convert import load_torch_hrnet
+        if family == "hrnet":
+            from .convert import load_torch_hrnet
 
-        if family != "hrnet":
-            raise ValueError("torch checkpoint conversion implemented for hrnet only")
-        return load_torch_hrnet(variables, path)
+            return load_torch_hrnet(variables, path, cfg)
+        if family == "rtmpose":
+            from .convert import load_torch_rtmpose
+
+            return load_torch_rtmpose(variables, path, cfg)
+        raise ValueError(f"torch checkpoint conversion not implemented for {family}")
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=False))
         leaves, treedef = jax.tree.flatten(variables)

@@ -178,10 +178,20 @@ def test_torch_hrnet_converter_roundtrip(tmp_path, hrnet_small):
 
     model, variables = hrnet_small
     rng = np.random.default_rng(0)
-    from multi_camera_3d_pose_estimation_tpu.models.convert import _natural, _path_keys
+    from multi_camera_3d_pose_estimation_tpu.models.convert import (
+        _natural,
+        _path_keys,
+        hrnet_top_level_order,
+    )
+
+    rank = hrnet_top_level_order(SMALL_HRNET)
+
+    def _ckey(pv):
+        keys = _path_keys(pv[0])
+        return (rank[keys[1]], [_natural(k) for k in keys[2:]])
 
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
-    flat = sorted(flat, key=lambda pv: [_natural(k) for k in _path_keys(pv[0])])
+    flat = sorted(flat, key=_ckey)
 
     state = {}
     conv_i = bn_i = 0
@@ -206,10 +216,10 @@ def test_torch_hrnet_converter_roundtrip(tmp_path, hrnet_small):
     path = str(tmp_path / "fake_hrnet.pth")
     torch.save(state, path)
 
-    restored = load_torch_hrnet(variables, path)
+    restored = load_torch_hrnet(variables, path, SMALL_HRNET)
     # Every conv kernel must now equal the transposed torch tensor.
     r_flat = jax.tree_util.tree_flatten_with_path(restored)[0]
-    r_flat = sorted(r_flat, key=lambda pv: [_natural(k) for k in _path_keys(pv[0])])
+    r_flat = sorted(r_flat, key=_ckey)
     conv_i = 0
     for (p, v0), (_, v1) in zip(flat, r_flat):
         if v0.ndim == 4:
