@@ -23,7 +23,7 @@ import numpy as np
 from ..io.camera_params import get_params_from_name, stack_camera_params
 from ..io.frames import BatchedFramePipeline
 from ..io.manifest import load_camera_names
-from ..models.registry import build_estimator
+from ..models.registry import build_detector, build_estimator
 from ..parallel.pipeline import ShardedPosePipeline
 
 __all__ = ["estimate_pose_from_video", "run_pipeline_on_videos"]
@@ -72,6 +72,9 @@ def estimate_pose_from_video(
     camera_names=None,
     pose_estimation_model: str = "coco_hrnet_w32",
     checkpoint: str | None = None,
+    detector_model: str = "full_frame",
+    detector_checkpoint: str | None = None,
+    detector_bbox_thr: float = 0.3,
     save_dir: str | None = None,
     overwrite: bool = False,
     block_size: int = 16,
@@ -137,8 +140,14 @@ def estimate_pose_from_video(
         pose_estimation_model, checkpoint=checkpoint, num_joints=num_joints,
         **(estimator_kwargs or {}),
     )
+    # Person detector per the reference (mmpose_pose_estimation.py:236-250):
+    # detect → top-1 box; full-frame fallback below bbox_thr.
+    detector = build_detector(
+        detector_model, checkpoint=detector_checkpoint, bbox_thr=detector_bbox_thr
+    )
     pipeline = ShardedPosePipeline(
-        estimator, cam_stack, mesh=mesh, conf_threshold=conf_threshold
+        estimator, cam_stack, mesh=mesh, conf_threshold=conf_threshold,
+        detector=detector,
     )
     kpts_2d, heatmaps, kpts_3d = run_pipeline_on_videos(
         pipeline, recording_paths, block_size=block_size

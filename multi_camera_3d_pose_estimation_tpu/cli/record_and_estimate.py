@@ -37,6 +37,7 @@ def record_and_estimate_pose(
     recording_length_seconds: float = 10,
     keep_unsynced_files: bool = False,
     checkpoint: str | None = None,
+    detector_checkpoint: str | None = None,
     conf_threshold: float = 0.3,
     decode_mode: str = "default",
     flip_test: bool = False,
@@ -89,6 +90,8 @@ def record_and_estimate_pose(
         camera_names=list(camera_names.values()),
         pose_estimation_model=estimator_model,
         checkpoint=checkpoint,
+        detector_model=detector_model,
+        detector_checkpoint=detector_checkpoint,
         save_dir=recordings_folder,
         conf_threshold=conf_threshold,
         estimator_kwargs={"decode_mode": decode_mode, "flip_test": flip_test},
@@ -122,6 +125,7 @@ def main(argv=None):
     p.add_argument("--recording_length_seconds", type=int)
     p.add_argument("--keep_unsynced_files", action="store_true")
     p.add_argument("--checkpoint")
+    p.add_argument("--detector_checkpoint")
     p.add_argument("--decode_mode", choices=["default", "dark"])
     p.add_argument("--flip_test", action="store_true", default=None)
     args = p.parse_args(argv)

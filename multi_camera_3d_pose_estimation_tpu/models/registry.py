@@ -23,7 +23,13 @@ from .hrnet import HRNET_W32, HRNET_W48, HRNet
 from .rtmpose import RTMPOSE_M, RTMPOSE_S, RTMPOSE_T, RTMPose
 from .topdown import TopDownEstimator
 
-__all__ = ["MODEL_REGISTRY", "build_estimator", "resolve_model_name"]
+__all__ = [
+    "MODEL_REGISTRY",
+    "DETECTOR_REGISTRY",
+    "build_estimator",
+    "build_detector",
+    "resolve_model_name",
+]
 
 # name → (family, cfg, decode, input_size (w, h))
 MODEL_REGISTRY: dict[str, dict[str, Any]] = {
@@ -109,6 +115,51 @@ def build_estimator(
         model, variables, input_size=spec["input_size"], decode=spec["decode"],
         **estimator_kwargs,
     )
+
+
+# Detector registry (the `detectors:` section of model_paths.yaml —
+# reference examples/model_paths.yaml:1-7 selects mmdet person detectors;
+# here names resolve to the from-scratch CenterNet or the full-frame
+# fallback, mmpose_pose_estimation.py:246-250's failure path as a choice).
+DETECTOR_REGISTRY: dict[str, dict[str, Any]] = {
+    "full_frame": {"width": None},
+    "centernet_w32": {"width": 32},
+    "centernet_w16": {"width": 16},
+    # Tiny CPU-trainable detector (tests/demos).
+    "test_centernet_w8": {"width": 8},
+}
+
+
+def build_detector(
+    name: str = "full_frame",
+    checkpoint: str | None = None,
+    bbox_thr: float = 0.3,
+    seed: int = 0,
+    input_hw: tuple[int, int] = (256, 256),
+    dtype=jnp.bfloat16,
+):
+    """Construct a ready `SinglePersonDetector` by registry name.
+
+    ``"full_frame"`` returns the zero-cost whole-frame detector; CenterNet
+    names build the flax model (random init unless ``checkpoint`` is an
+    npz/orbax of our pytree).  ``input_hw`` only seeds parameter shapes —
+    the model is fully convolutional.
+    """
+    from .detector import CenterNetDetector, SinglePersonDetector
+
+    if name not in DETECTOR_REGISTRY:
+        raise KeyError(
+            f"unknown detector '{name}'; available: {sorted(DETECTOR_REGISTRY)}"
+        )
+    spec = DETECTOR_REGISTRY[name]
+    if spec["width"] is None:
+        return SinglePersonDetector(bbox_thr=bbox_thr)
+    model = CenterNetDetector(width=spec["width"], dtype=dtype)
+    h, w = input_hw
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
+    if checkpoint:
+        variables = _load_checkpoint(variables, checkpoint, "centernet")
+    return SinglePersonDetector(model, variables, bbox_thr=bbox_thr)
 
 
 def _load_checkpoint(variables, path: str, family: str, cfg: dict | None = None):

@@ -49,59 +49,101 @@ class ShardedPosePipeline:
     kpts_3d (T, K, 3).
     """
 
-    def __init__(self, estimator, cam_stack, mesh=None, conf_threshold: float = 0.3):
+    def __init__(self, estimator, cam_stack, mesh=None, conf_threshold: float = 0.3,
+                 detector=None):
         self.estimator = estimator
         self.mesh = mesh
         self.conf_threshold = float(conf_threshold)
         self.cam_stack = {k: jnp.asarray(v, jnp.float32) for k, v in cam_stack.items()}
+        # Optional person detector (models.SinglePersonDetector): its
+        # CenterNet forward + top-1 decode runs INSIDE the same jitted
+        # program as crop/model/triangulate — the reference's separate
+        # mmdet inference call (mmpose_pose_estimation.py:236-250) fused
+        # away.  A full-frame detector (model=None) adds nothing to the jit.
+        det_model = getattr(detector, "model", None)
+        det_thr = float(getattr(detector, "bbox_thr", 0.3))
+        self.det_variables = getattr(detector, "variables", None)
+        self._has_detector = det_model is not None and self.det_variables is not None
 
-        fn = partial(
-            _pipeline_fn,
-            estimator.model,
-            estimator.input_size,
-            estimator.decode,
-            estimator.heatmap_threshold,
-            estimator.bbox_padding,
-            getattr(estimator, "use_fused_decode", False),
-            getattr(estimator, "_flip_perm", None),
-            getattr(estimator, "decode_mode", "default"),
-            self.conf_threshold,
-        )
-        if mesh is None:
-            self._run = jax.jit(fn)
-        else:
+        def make(fn_use_det: bool):
+            fn = partial(
+                _pipeline_fn,
+                estimator.model,
+                estimator.input_size,
+                estimator.decode,
+                estimator.heatmap_threshold,
+                estimator.bbox_padding,
+                getattr(estimator, "use_fused_decode", False),
+                getattr(estimator, "_flip_perm", None),
+                getattr(estimator, "decode_mode", "default"),
+                self.conf_threshold,
+                det_model if fn_use_det else None,
+                det_thr,
+            )
+            if mesh is None:
+                return jax.jit(fn)
             rep = replicated(mesh)
-            self._run = jax.jit(
+            return jax.jit(
                 fn,
                 in_shardings=(
                     rep,  # variables
+                    rep,  # detector variables (or None pytree)
                     data_sharding(mesh, 5),  # frames (T, C, H, W, 3)
                     data_sharding(mesh, 3),  # bboxes (T, C, 4)
                     rep,  # cam stack
                 ),
             )
 
+        self._make = make
+        self._run_detect = make(self._has_detector)
+        # Explicit user boxes bypass the detector (compiled on first use).
+        self._run_given = self._run_detect if not self._has_detector else None
+
     def run(self, frames, bboxes=None):
         # uint8 frames stay uint8 until inside the jitted program (4x less
         # host->device traffic; the /255 cast fuses into the crop resample).
         frames = jnp.asarray(frames)
         T, C, H, W = frames.shape[:4]
+        use_detector = bboxes is None and self._has_detector
         if bboxes is None:
             bboxes = jnp.tile(
                 jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1)
             )
-        return self._run(self.estimator.variables, frames, jnp.asarray(bboxes), self.cam_stack)
+            fn = self._run_detect
+        else:
+            if self._run_given is None:
+                # lazily build the detector-free variant for explicit boxes
+                self._run_given = self._make(False)
+            fn = self._run_given
+        det_vars = self.det_variables if use_detector else None
+        return fn(self.estimator.variables, det_vars, frames,
+                  jnp.asarray(bboxes), self.cam_stack)
 
 
 def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
-                 decode_mode, conf_thr, variables, frames, bboxes, cam):
+                 decode_mode, conf_thr, det_model, det_thr,
+                 variables, det_variables, frames, bboxes, cam):
     T, C, H, W, _ = frames.shape
     if frames.dtype == jnp.uint8:
         frames = frames.astype(jnp.float32) / 255.0
     flat = frames.reshape(T * C, H, W, 3)
+    flat_boxes = bboxes.reshape(T * C, 4)
+    if det_model is not None:
+        # Person detection fused into the same program (reference runs a
+        # separate mmdet model per frame, mmpose_pose_estimation.py:236-250).
+        # Below-threshold detections fall back to the provided boxes
+        # (full frame), matching the reference's None-bbox path.
+        from ..models.detector import decode_top1
+
+        det_out = det_model.apply(det_variables, flat)
+        det_boxes, det_score = decode_top1(det_out)
+        det_boxes = jnp.clip(
+            det_boxes, 0.0, jnp.asarray([W, H, W, H], jnp.float32)
+        )
+        keep = (det_score > det_thr)[:, None]
+        flat_boxes = jnp.where(keep, det_boxes, flat_boxes)
     out = _predict(model, input_size, decode, hm_thr, pad, use_fused,
-                   flip_perm, decode_mode, variables, flat,
-                   bboxes.reshape(T * C, 4))
+                   flip_perm, decode_mode, variables, flat, flat_boxes)
     kpts = out["keypoints"].reshape(T, C, -1, 3)  # (T, C, K, 3)
     gauss = out["gaussians"].reshape(T, C, -1, 6)
 

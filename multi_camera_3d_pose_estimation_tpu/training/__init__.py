@@ -7,7 +7,8 @@ external dependency: supervised target rendering, losses, augmentation,
 and jitted data-parallel train steps over a device mesh.
 """
 
-from .targets import render_heatmap_targets, render_simcc_targets
+from .targets import (render_heatmap_targets, render_simcc_targets,
+                      render_centernet_targets)
 from .losses import heatmap_mse_loss, simcc_kl_loss, centernet_focal_loss
 from .augment import random_flip_pose, random_affine_params
 from .loop import make_train_step, TrainState
@@ -16,6 +17,7 @@ from .data import parse_coco_keypoints, KeypointBatcher, make_crop_batch
 __all__ = [
     "render_heatmap_targets",
     "render_simcc_targets",
+    "render_centernet_targets",
     "heatmap_mse_loss",
     "simcc_kl_loss",
     "centernet_focal_loss",

@@ -1,0 +1,160 @@
+"""Detector in the end-to-end path (VERDICT r1 item 3).
+
+The reference runs mmdet person detection per frame and crops to the
+top-1 box (mmpose_pose_estimation.py:236-250).  These tests prove the
+TPU-native equivalent: a CenterNet trained on synthetic person-composites
+produces boxes tighter than full-frame, and `ShardedPosePipeline` fuses
+the detector into the jitted crop→model→triangulate program with the
+reference wire shapes intact.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from multi_camera_3d_pose_estimation_tpu.models import (
+    CenterNetDetector,
+    SinglePersonDetector,
+    TopDownEstimator,
+    HRNet,
+)
+from multi_camera_3d_pose_estimation_tpu.models.registry import (
+    build_detector,
+    save_checkpoint_npz,
+)
+from multi_camera_3d_pose_estimation_tpu.training import (
+    centernet_focal_loss,
+    render_centernet_targets,
+)
+
+HW = 64  # frame size; stride-16 head map is 4x4
+
+
+def _make_batch(rng, n):
+    """White person-blob on dark noise; returns (images, gt bboxes xyxy)."""
+    imgs = rng.uniform(0.0, 0.15, size=(n, HW, HW, 3)).astype(np.float32)
+    boxes = np.zeros((n, 4), np.float32)
+    for i in range(n):
+        w = rng.integers(14, 28)
+        h = rng.integers(18, 30)
+        x0 = rng.integers(2, HW - w - 2)
+        y0 = rng.integers(2, HW - h - 2)
+        imgs[i, y0 : y0 + h, x0 : x0 + w] = rng.uniform(0.7, 1.0)
+        boxes[i] = [x0, y0, x0 + w, y0 + h]
+    return imgs, boxes
+
+
+@pytest.fixture(scope="module")
+def trained_detector():
+    rng = np.random.default_rng(0)
+    model = CenterNetDetector(width=8, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 3)))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, imgs, boxes):
+        def loss_of(p):
+            out, new = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                imgs, train=True, mutable=["batch_stats"],
+            )
+            ct, wh, off, mask = render_centernet_targets(boxes, (HW // 16, HW // 16))
+            return centernet_focal_loss(out, ct, wh, off, mask), new
+
+        (loss, new), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), new["batch_stats"], opt_state, loss
+
+    loss = None
+    for i in range(200):
+        imgs, boxes = _make_batch(rng, 16)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, jnp.asarray(imgs), jnp.asarray(boxes)
+        )
+    assert np.isfinite(float(loss))
+    return model, {"params": params, "batch_stats": batch_stats}
+
+
+def test_trained_detector_boxes_tighter_than_full_frame(trained_detector):
+    model, variables = trained_detector
+    det = SinglePersonDetector(model, variables, bbox_thr=0.15)
+    rng = np.random.default_rng(7)
+    imgs, gt = _make_batch(rng, 8)
+    boxes = np.asarray(det.detect(imgs))
+
+    full_area = float(HW * HW)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    # Most boxes must be genuinely tighter than the full frame…
+    assert (areas < 0.6 * full_area).mean() >= 0.75, (areas, gt)
+    # …and centred near the blob (within one stride of the true centre).
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2
+    gx = (gt[:, 0] + gt[:, 2]) / 2
+    gy = (gt[:, 1] + gt[:, 3]) / 2
+    close = (np.abs(cx - gx) <= 16) & (np.abs(cy - gy) <= 16)
+    assert close.mean() >= 0.75, np.stack([cx, gx, cy, gy], 1)
+
+
+def test_detector_checkpoint_roundtrip_via_registry(trained_detector, tmp_path):
+    model, variables = trained_detector
+    path = str(tmp_path / "det.npz")
+    save_checkpoint_npz(variables, path)
+    det = build_detector("test_centernet_w8", checkpoint=path, bbox_thr=0.15,
+                         input_hw=(HW, HW), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    imgs, _ = _make_batch(rng, 4)
+    boxes = np.asarray(det.detect(imgs))
+    assert boxes.shape == (4, 4)
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    assert (areas < 0.6 * HW * HW).any()
+
+
+def test_pipeline_with_detector_wire_shapes(trained_detector):
+    """Detector fused into the jitted pipeline: wire shapes + fallback."""
+    model, variables = trained_detector
+    det = SinglePersonDetector(model, variables, bbox_thr=0.15)
+
+    from multi_camera_3d_pose_estimation_tpu.parallel import ShardedPosePipeline
+
+    hr_cfg = {"widths": (8, 16, 32, 64), "modules": (1, 1, 1, 1), "stem": 16}
+    hr = HRNet(num_joints=17, cfg=hr_cfg, dtype=jnp.float32)
+    hr_vars = hr.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 32, 3)))
+    est = TopDownEstimator(hr, hr_vars, input_size=(32, 64), decode="heatmap")
+
+    C = 2
+    cam_stack = {
+        "K": np.tile(np.array([[100.0, 0, HW / 2], [0, 100.0, HW / 2], [0, 0, 1]],
+                              np.float32), (C, 1, 1)),
+        "R": np.tile(np.eye(3, dtype=np.float32), (C, 1, 1)),
+        "T": np.stack([np.zeros(3, np.float32),
+                       np.asarray([10.0, 0, 0], np.float32)]),
+        "dist": np.zeros((C, 5), np.float32),
+    }
+    pipe = ShardedPosePipeline(est, cam_stack, detector=det)
+
+    rng = np.random.default_rng(11)
+    imgs, _ = _make_batch(rng, 4 * C)
+    frames = imgs.reshape(4, C, HW, HW, 3)
+    out = pipe.run(frames)
+    assert np.asarray(out["kpts_2d"]).shape == (4, 17, 3, C)
+    assert np.asarray(out["heatmaps_2d"]).shape == (4, C, 17, 6)
+    assert np.asarray(out["kpts_3d"]).shape == (4, 17, 3)
+
+    # Explicit boxes bypass the detector (detector-free program).
+    bboxes = np.tile(np.asarray([0, 0, HW, HW], np.float32), (4, C, 1))
+    out2 = pipe.run(frames, bboxes)
+    assert np.asarray(out2["kpts_3d"]).shape == (4, 17, 3)
+
+
+def test_build_detector_full_frame_registry():
+    det = build_detector("full_frame")
+    frames = np.zeros((2, 32, 48, 3), np.float32)
+    np.testing.assert_allclose(
+        np.asarray(det.detect(frames)), np.tile([0, 0, 48, 32], (2, 1))
+    )
+    with pytest.raises(KeyError):
+        build_detector("nope")
