@@ -124,6 +124,7 @@ class TopDownEstimator:
         bbox_padding: float = 1.25,
         use_fused_decode: bool = False,
         flip_test: bool = False,
+        flip_shift: bool = True,
         decode_mode: str = "default",
         connectivity_type: str = "coco",
     ):
@@ -142,6 +143,12 @@ class TopDownEstimator:
         # Mosaic kernels.  Semantics identical to the jnp pair.
         self.use_fused_decode = bool(use_fused_decode) and decode == "heatmap"
         self.flip_test = bool(flip_test)  # supported for both decode families
+        # One-heatmap-pixel right shift of the mirrored map before
+        # averaging (MMPose's shift_heatmap for the MSRA x = h·stride
+        # convention OUR decode uses: unshifted, the mirrored peak sits
+        # (s-1)/s hm-px left of truth; shifted, +1/s px — pinned
+        # empirically in tests/test_accuracy_harness.py).
+        self.flip_shift = bool(flip_shift)
         self.decode_mode = decode_mode
         if self.flip_test:
             from ..training.augment import flip_permutation
@@ -159,7 +166,7 @@ class TopDownEstimator:
         self._predict = jax.jit(partial(_predict, model, self.input_size, decode,
                                         self.heatmap_threshold, self.bbox_padding,
                                         self.use_fused_decode, self._flip_perm,
-                                        self.decode_mode))
+                                        self.decode_mode, self.flip_shift))
 
     def predict_batch(self, frames, bboxes=None):
         """frames (B,H,W,3) uint8/float, bboxes (B,4) or None (full frame).
@@ -196,7 +203,8 @@ def preprocess_crops(frames, bboxes, input_size, bbox_padding: float = 1.25):
 
 
 def _predict(model, input_size, decode, hm_threshold, bbox_padding,
-             use_fused_decode, flip_perm, decode_mode, variables, frames, bboxes):
+             use_fused_decode, flip_perm, decode_mode, flip_shift,
+             variables, frames, bboxes):
     in_w, in_h = input_size
     crops, scale, offset = preprocess_crops(frames, bboxes, input_size, bbox_padding)
 
@@ -209,11 +217,13 @@ def _predict(model, input_size, decode, hm_threshold, bbox_padding,
             heat_f = model.apply(variables, crops[:, :, ::-1])
             heat_f = jnp.moveaxis(heat_f, -1, 1)[:, :, :, ::-1]
             heat_f = heat_f[:, jnp.asarray(flip_perm)]
-            # The mirrored map's peak sits one stride off (UDP flip shift);
-            # shift one heatmap pixel right like MMPose's flip_test.
-            heat_f = jnp.concatenate(
-                [heat_f[..., :1], heat_f[..., :-1]], axis=-1
-            )
+            if flip_shift:
+                # Under the x = h·stride decode convention the mirrored
+                # peak lands (s-1)/s hm-px left of truth; MMPose's
+                # one-pixel right shift is the best integer correction.
+                heat_f = jnp.concatenate(
+                    [heat_f[..., :1], heat_f[..., :-1]], axis=-1
+                )
             heat = 0.5 * (heat + heat_f)
         if use_fused_decode:
             from ..ops.pallas import fused_heatmap_decode

@@ -14,7 +14,42 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "replicated"]
+__all__ = [
+    "make_mesh",
+    "make_clip_mesh",
+    "init_distributed",
+    "data_sharding",
+    "replicated",
+]
+
+
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` passthrough.
+
+    Call once per process before any jax op on a multi-host rig (pod-scale
+    BASELINE config 5 — many-clip offline farms).  With no arguments, JAX
+    auto-detects cluster environments (GKE/SLURM/TPU pods); the explicit
+    form suits ad-hoc rigs: the coordinator is ``host0:port``, processes
+    are numbered 0..N-1.  After this, `jax.devices()` spans every host and
+    the meshes below work unchanged — XLA routes collectives over ICI
+    within a host/slice and DCN across (see `make_clip_mesh` for keeping
+    the heavy traffic off DCN).
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -32,8 +67,47 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
-    """Shard the leading axis over ``axis``; later axes replicated."""
+def make_clip_mesh(
+    n_outer: int | None = None,
+    n_inner: int | None = None,
+    axes: tuple[str, str] = ("clips", "data"),
+) -> Mesh:
+    """DCN-aware 2-D mesh: ``clips`` outer (across hosts), ``data`` inner.
+
+    For the many-clip offline farm (BASELINE config 5 at pod scale): whole
+    clips shard over the OUTER axis — host-process-major device order, so
+    outer-axis neighbours sit on different hosts and the only cross-host
+    traffic is the per-clip result gather (tiny) — while the frame/window
+    axis shards over the INNER axis whose collectives ride ICI.
+    Defaults: outer = number of processes, inner = local device count.
+    """
+    import numpy as np
+
+    devices = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n_procs = max(d.process_index for d in devices) + 1
+    if n_outer is None:
+        n_outer = n_procs
+    if n_inner is None:
+        n_inner = len(devices) // n_outer
+    if n_outer * n_inner > len(devices):
+        raise ValueError(
+            f"mesh {n_outer}x{n_inner} needs {n_outer * n_inner} devices, "
+            f"have {len(devices)}"
+        )
+    grid = np.array(devices[: n_outer * n_inner]).reshape(n_outer, n_inner)
+    return Mesh(grid, axes)
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis=None) -> NamedSharding:
+    """Shard the leading axis over ``axis``; later axes replicated.
+
+    ``axis`` defaults to ALL mesh axes (a 1-D `make_mesh` gives the plain
+    data sharding; a 2-D `make_clip_mesh` splits the leading axis
+    clips-major then data — exactly the clips-outer/frames-inner layout
+    when the caller flattens clips into time).
+    """
+    if axis is None:
+        axis = mesh.axis_names[0] if len(mesh.axis_names) == 1 else tuple(mesh.axis_names)
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
 
 

@@ -76,6 +76,7 @@ class ShardedPosePipeline:
                 getattr(estimator, "use_fused_decode", False),
                 getattr(estimator, "_flip_perm", None),
                 getattr(estimator, "decode_mode", "default"),
+                getattr(estimator, "flip_shift", True),
                 self.conf_threshold,
                 det_model if fn_use_det else None,
                 det_thr,
@@ -121,7 +122,7 @@ class ShardedPosePipeline:
 
 
 def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
-                 decode_mode, conf_thr, det_model, det_thr,
+                 decode_mode, flip_shift, conf_thr, det_model, det_thr,
                  variables, det_variables, frames, bboxes, cam):
     T, C, H, W, _ = frames.shape
     if frames.dtype == jnp.uint8:
@@ -143,7 +144,7 @@ def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
         keep = (det_score > det_thr)[:, None]
         flat_boxes = jnp.where(keep, det_boxes, flat_boxes)
     out = _predict(model, input_size, decode, hm_thr, pad, use_fused,
-                   flip_perm, decode_mode, variables, flat, flat_boxes)
+                   flip_perm, decode_mode, flip_shift, variables, flat, flat_boxes)
     kpts = out["keypoints"].reshape(T, C, -1, 3)  # (T, C, K, 3)
     gauss = out["gaussians"].reshape(T, C, -1, 6)
 
@@ -233,7 +234,10 @@ def run_clips_batched(pipeline: ShardedPosePipeline, clips_frames, bboxes=None,
 
     BASELINE config 5 ("8 synchronized 4-camera clips processed
     concurrently"): ``clips_frames`` (n_clips, T, C, H, W, 3) folds the
-    clip axis into time for one big jitted block.
+    clip axis into time for one big jitted block.  On a 2-D
+    `make_clip_mesh` the flattened axis shards clips-major (outer axis =
+    hosts over DCN) then frames (inner axis over ICI) — the pod-scale
+    layout — provided n_clips·T divides the mesh size.
 
     - ``split=True``: returns a list of per-clip result dicts (convenient,
       but materializes n_clips×3 device slices — measurable dispatch

@@ -13,6 +13,8 @@ from .losses import heatmap_mse_loss, simcc_kl_loss, centernet_focal_loss
 from .augment import random_flip_pose, random_affine_params
 from .loop import make_train_step, TrainState
 from .data import parse_coco_keypoints, KeypointBatcher, make_crop_batch
+from .synthetic import SyntheticSceneConfig, coco17_pose, make_rig, project_oracle
+from .harness import run_accuracy_harness
 
 __all__ = [
     "render_heatmap_targets",
@@ -28,4 +30,9 @@ __all__ = [
     "parse_coco_keypoints",
     "KeypointBatcher",
     "make_crop_batch",
+    "SyntheticSceneConfig",
+    "coco17_pose",
+    "make_rig",
+    "project_oracle",
+    "run_accuracy_harness",
 ]

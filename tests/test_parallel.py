@@ -172,3 +172,94 @@ def test_run_clips_batched_unsplit(small_pipeline_parts):
         np.asarray(stacked["kpts_3d"][2]), np.asarray(per_clip[2]["kpts_3d"]),
         equal_nan=True,
     )
+
+
+def test_clip_mesh_2d_clips_outer(small_pipeline_parts):
+    """DCN-aware 2-D mesh: clips-major over the outer axis, frames inner.
+
+    On one process the 8 virtual devices form a 2x4 grid; the flattened
+    clip·time axis shards over BOTH axes and results must match the
+    single-device run exactly (multi-host layout, single-host numerics).
+    """
+    from multi_camera_3d_pose_estimation_tpu.parallel import (
+        make_clip_mesh,
+        run_clips_batched,
+    )
+
+    est, cam_stack = small_pipeline_parts
+    mesh = make_clip_mesh(2, 4)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("clips", "data")
+
+    pipe2d = ShardedPosePipeline(est, cam_stack, mesh=mesh)
+    pipe1 = ShardedPosePipeline(est, cam_stack, mesh=None)
+    clips = np.random.default_rng(5).uniform(size=(2, 4, 2, 64, 64, 3)).astype(np.float32)
+    out2d = run_clips_batched(pipe2d, clips, split=False)
+    out1 = run_clips_batched(pipe1, clips, split=False)
+    np.testing.assert_allclose(
+        np.asarray(out2d["kpts_3d"]), np.asarray(out1["kpts_3d"]),
+        rtol=5e-4, atol=1e-4, equal_nan=True,
+    )
+
+
+def test_multiprocess_distributed_mesh(tmp_path):
+    """REAL multi-host path: two OS processes, jax.distributed, gloo
+    collectives, 2x4 clip mesh, global reduction agrees in both."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = textwrap.dedent(
+        """
+        import os, sys
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                    "AXON_LOOPBACK_RELAY"):
+            os.environ.pop(var, None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        sys.path.insert(0, sys.argv[3])
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid = int(sys.argv[1]); port = sys.argv[2]
+        from multi_camera_3d_pose_estimation_tpu.parallel import (
+            init_distributed, make_clip_mesh, data_sharding)
+        init_distributed(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+        import jax.numpy as jnp
+        import numpy as np
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        assert len(jax.devices()) == 8
+        mesh = make_clip_mesh()
+        assert mesh.devices.shape == (2, 4)
+        sharding = data_sharding(mesh, 2)
+        full = np.arange(48, dtype=np.float32).reshape(16, 3)
+        local = full[pid * 8 : (pid + 1) * 8]
+        arrs = [jax.device_put(local[i * 2 : (i + 1) * 2], d)
+                for i, d in enumerate(mesh.devices[pid])]
+        ga = jax.make_array_from_single_device_arrays((16, 3), sharding, arrs)
+        total = jax.jit(lambda x: jnp.sum(x),
+                        out_shardings=NamedSharding(mesh, P()))(ga)
+        assert abs(float(total) - float(full.sum())) < 1e-3
+        print(f"proc {pid} OK")
+        """
+    )
+    script = tmp_path / "worker.py"
+    script.write_text(worker)
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i} OK" in out
