@@ -46,8 +46,11 @@ def levenberg_marquardt(
         x, lam, prev = carry
         r = residual_fn(x)
         J = jax.jacfwd(residual_fn)(x)
-        A = J.T @ J
-        g = J.T @ r
+        # HIGHEST: the normal equations must not pass through TPU's
+        # default bf16 matmul precision (LM stalls at ~1% residuals).
+        hp = jax.lax.Precision.HIGHEST
+        A = jnp.einsum("ki,kj->ij", J, J, precision=hp)
+        g = jnp.einsum("ki,k->i", J, r, precision=hp)
         damp = lam * jnp.diag(jnp.diag(A)) + 1e-12 * eye
         dx = jnp.linalg.solve(A + damp, -g)
         x_new = x + dx

@@ -48,7 +48,10 @@ def projection_matrix(K: jax.Array, R: jax.Array, t: jax.Array) -> jax.Array:
     """P = K [R|t], shape (..., 3, 4). Parity: reference utils.py:433-435."""
     K = jnp.asarray(K)
     Rt = make_homogeneous_rep_matrix(R, t)[..., :3, :]
-    return jnp.einsum("...ij,...jk->...ik", K, Rt)
+    # HIGHEST: TPU's default bf16 matmul precision would put ~1e-2 relative
+    # error into P and every downstream triangulation/projection.
+    return jnp.einsum("...ij,...jk->...ik", K, Rt,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def rodrigues_matrix(rvec: jax.Array) -> jax.Array:
@@ -81,7 +84,9 @@ def rodrigues_matrix(rvec: jax.Array) -> jax.Array:
     )  # (...,3,3)
     th = theta[..., None]  # (...,1,1)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=rvec.dtype), K.shape)
-    return eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * (K @ K)
+    KK = jnp.einsum("...ij,...jk->...ik", K, K,
+                    precision=jax.lax.Precision.HIGHEST)
+    return eye + jnp.sin(th) * K + (1.0 - jnp.cos(th)) * KK
 
 
 def rodrigues_vector(R: jax.Array) -> jax.Array:
@@ -207,7 +212,8 @@ def project_points(
     if R.shape[-2:] != (3, 3):
         R = rodrigues_matrix(R)
 
-    cam = jnp.einsum("ij,...j->...i", R, points) + T
+    cam = jnp.einsum("ij,...j->...i", R, points,
+                     precision=jax.lax.Precision.HIGHEST) + T
     x = cam[..., 0] / cam[..., 2]
     y = cam[..., 1] / cam[..., 2]
     xy = jnp.stack([x, y], axis=-1)

@@ -62,14 +62,19 @@ def _smallest_eigvec_4x4(B: jax.Array, n_squarings: int = 12) -> jax.Array:
     M = c * jnp.eye(4, dtype=B.dtype) - B
 
     def body(_, M):
-        M = jnp.einsum("...ij,...jk->...ik", M, M)
+        # precision=HIGHEST: on TPU the default einsum precision is bf16,
+        # whose 8-bit mantissa caps the whole solve at ~1% error — these
+        # are 4x4 matmuls, full f32 is free.
+        M = jnp.einsum("...ij,...jk->...ik", M, M,
+                       precision=jax.lax.Precision.HIGHEST)
         scale = jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True)
         return M / jnp.maximum(scale, 1e-30)
 
     M = jax.lax.fori_loop(0, n_squarings, body, M)
     # Deterministic start with components in every eigendirection.
     v0 = jnp.full(B.shape[:-2] + (4,), 0.5, B.dtype).at[..., 0].set(0.9)
-    v = jnp.einsum("...ij,...j->...i", M, v0)
+    v = jnp.einsum("...ij,...j->...i", M, v0,
+                   precision=jax.lax.Precision.HIGHEST)
     n = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), 1e-30))
     return v / n
 
@@ -100,14 +105,29 @@ def triangulate_dlt(
     safe_b = jnp.where(bad[..., None], jnp.zeros_like(pts_b), pts_b)
 
     A = _dlt_system(safe_a, safe_b, P_a, P_b)  # (...,4,4)
-    # Row-normalize for conditioning (scale-invariant solution).
-    norm = jnp.linalg.norm(A, axis=-1, keepdims=True)
-    A = A / jnp.where(norm > 0, norm, jnp.ones_like(norm))
-    B = jnp.einsum("...ki,...kj->...ij", A, A)  # AᵀA, symmetric PSD (...,4,4)
+    # NO row normalization: scaling rows reweights the least-squares
+    # residuals and measurably degrades noisy-data solutions (3× the
+    # median error of plain SVD on a 10px-noise benchmark) — neither
+    # numpy's SVD nor cv.triangulatePoints row-normalizes.
+    #
+    # Column equilibration (Hartley-style balancing) instead: the raw
+    # null vector (X, Y, Z, 1) is scale-imbalanced when world coordinates
+    # are large (|X| ~ 10²-10³ vs the homogeneous 1), which collapses the
+    # eigengap between the null direction and the next eigenvector
+    # (observed ratio 1 - 5e-5 on a 3m-deep rig — the power iteration
+    # stalls).  Scaling each COLUMN to unit norm balances the solution
+    # components without touching the residual weighting; the solution of
+    # the scaled system is D·h, undone after the solve.
+    colnorm = jnp.linalg.norm(A, axis=-2, keepdims=True)  # (...,1,4)
+    colnorm = jnp.where(colnorm > 0, colnorm, jnp.ones_like(colnorm))
+    A = A / colnorm
+    B = jnp.einsum("...ki,...kj->...ij", A, A,
+                   precision=jax.lax.Precision.HIGHEST)  # AᵀA, PSD (...,4,4)
     # Degenerate/bad systems -> identity so the solver stays finite.
     eye = jnp.eye(4, dtype=B.dtype)
     B = jnp.where(bad[..., None, None], eye, B)
     h = _smallest_eigvec_4x4(B)  # (...,4)
+    h = h / colnorm[..., 0, :]  # undo the column scaling
     w = h[..., 3]
     w = jnp.where(jnp.abs(w) < 1e-12, jnp.where(w < 0, -1e-12, 1e-12), w)
     xyz = h[..., :3] / w[..., None]

@@ -79,5 +79,6 @@ def undistort_points(
     # Full 3x4 projection of the normalized ray (z=1).
     ones = jnp.ones_like(xy[..., :1])
     ray = jnp.concatenate([xy, ones, ones], axis=-1)
-    uvw = jnp.einsum("ij,...j->...i", P, ray)
+    uvw = jnp.einsum("ij,...j->...i", P, ray,
+                     precision=jax.lax.Precision.HIGHEST)
     return uvw[..., :2] / uvw[..., 2:3]

@@ -83,14 +83,18 @@ def gaussian_log_likelihood(
     diff = jnp.where(ok[..., None], diff, 0.0)
     nan = jnp.asarray(jnp.nan, diff.dtype)
     if cov_inv is not None:
-        quad = -0.5 * jnp.einsum("...i,...ij,...j->...", diff, cov_inv, diff)
+        # HIGHEST: bf16 default TPU matmul precision would bias the
+        # likelihood (and its gradients) at the 1e-2 level.
+        quad = -0.5 * jnp.einsum("...i,...ij,...j->...", diff, cov_inv, diff,
+                                 precision=jax.lax.Precision.HIGHEST)
         return jnp.where(ok, quad, nan)
     cov = cov + eps * jnp.eye(2, dtype=cov.dtype)
     cov = jnp.where(
         ok[..., None, None], cov, jnp.eye(2, dtype=cov.dtype)
     )  # keep inv/det finite on masked rows
     ci = _inv2x2(cov)
-    quad = -0.5 * jnp.einsum("...i,...ij,...j->...", diff, ci, diff)
+    quad = -0.5 * jnp.einsum("...i,...ij,...j->...", diff, ci, diff,
+                             precision=jax.lax.Precision.HIGHEST)
     det = _det2x2(cov)
     norm = 0.5 * jnp.log((2.0 * jnp.pi) ** 2 * det + eps)
     return jnp.where(ok, quad - norm, nan)
