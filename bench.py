@@ -56,10 +56,14 @@ def main():
     frames_shape = (T, C, H, W, 3)
     pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
 
-    # Watertight timing through the noisy device tunnel: every step's input
-    # is derived from the PREVIOUS step's output (base + acc*1e-9), so no
-    # runtime-level memoization or async-completion quirk can skip work,
-    # and all steps execute strictly sequentially on device.
+    # Watertight timing through the noisy device tunnel: every iteration's
+    # input is derived from the PREVIOUS iteration's output (base + acc*1e-9),
+    # so no runtime-level memoization or async-completion quirk can skip
+    # work, and all iterations execute strictly sequentially on device.
+    # The repetitions run INSIDE one jitted lax.scan (like the config-1
+    # bench below): per-dispatch link latency through the tunnel is
+    # measured once per outer call, not once per step, so the number is
+    # the chip's throughput rather than the tunnel's.
     rng = np.random.default_rng(0)
     base = jax.device_put(jnp.asarray(rng.uniform(size=frames_shape), jnp.float32))
     base.block_until_ready()
@@ -68,28 +72,31 @@ def main():
     )
     variables = pipe.estimator.variables
 
+    N_INNER = 5
+
     @jax.jit
-    def perturb(b, a):
-        return b + a * 1e-9
+    def run_block(frames, acc0):
+        def body(acc, _):
+            out = pipe._run_detect(variables, None, frames + acc * 1e-9,
+                                   bboxes, pipe.cam_stack)
+            return acc + jnp.nansum(out["kpts_3d"]), None
 
-    def step(frames):
-        return pipe._run(variables, frames, bboxes, pipe.cam_stack)
+        acc, _ = jax.lax.scan(body, acc0, None, length=N_INNER)
+        return acc
 
-    # Warmup / compile both programs.
-    out = step(perturb(base, jnp.zeros(())))
-    jax.block_until_ready(out["kpts_3d"])
+    # Warmup / compile.
+    run_block(base, jnp.zeros(())).block_until_ready()
 
     # Timed steady state.
-    n_iters = 15
+    n_outer = 4
     acc = jnp.zeros(())
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step(perturb(base, acc))
-        acc = acc + jnp.sum(out["kpts_3d"])
+    for _ in range(n_outer):
+        acc = run_block(base, acc)
     acc.block_until_ready()
     dt = time.perf_counter() - t0
 
-    fps = (T * n_iters) / dt  # multi-camera frames (2 views each) per sec
+    fps = (T * N_INNER * n_outer) / dt  # multi-camera frames (2 views) per sec
     print(
         json.dumps(
             {

@@ -1,0 +1,47 @@
+"""Model-level accuracy harness CLI — MPJPE from TRAINED weights.
+
+Trains the person detector and the 2D pose model on synthetic COCO-17
+scenes, then runs the FULL pipeline (detector → crop → HRNet → flip-TTA +
+DARK decode → top-2 triangulation) against the geometry oracle.  The
+numbers this prints are the PARITY.md "trained-weights accuracy" row.
+
+Run:  python examples/accuracy_harness.py [--pose_steps 2500] [--det_steps 400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--pose_steps", type=int, default=2500)
+    p.add_argument("--det_steps", type=int, default=400)
+    p.add_argument("--frames", type=int, default=48)
+    p.add_argument("--cams", type=int, default=2)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default=None, help="optional JSON output path")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from multi_camera_3d_pose_estimation_tpu.training import run_accuracy_harness
+
+    metrics = run_accuracy_harness(
+        n_frames=args.frames,
+        det_steps=args.det_steps,
+        pose_steps=args.pose_steps,
+        n_cams=args.cams,
+    )
+    print(json.dumps(metrics, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(metrics, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

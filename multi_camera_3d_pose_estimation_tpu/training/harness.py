@@ -98,7 +98,17 @@ def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
             cam = scene.cams[scene.rng.integers(len(scene.cams))]
             proj = project_oracle(pts, cam[0], cam[1], cam[2])
             frames.append(render_frame(proj, W, H, scene.rng).astype(np.float32) / 255.0)
-            boxes.append(person_bbox(proj, W, H))
+            # Jitter the training box (scale 0.85-1.25, shift ±8 px) so the
+            # model is robust to the DETECTOR's box noise at deploy time —
+            # the standard top-down train-time augmentation.
+            bb = person_bbox(proj, W, H)
+            c = np.array([(bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2])
+            half = np.array([(bb[2] - bb[0]) / 2, (bb[3] - bb[1]) / 2])
+            half = half * scene.rng.uniform(0.85, 1.25)
+            c = c + scene.rng.uniform(-8, 8, 2)
+            bb = np.array([c[0] - half[0], c[1] - half[1],
+                           c[0] + half[0], c[1] + half[1]], np.float32)
+            boxes.append(bb)
             kps.append(proj)
         crops, scale, offset = preprocess_crops(
             jnp.asarray(np.stack(frames), jnp.float32),
@@ -183,6 +193,14 @@ def run_accuracy_harness(
     xy2d = np.moveaxis(kpts_2d[:, :, :2, :], -1, 1)  # (T, C, K, 2)
     err2d = np.linalg.norm(xy2d - proj_all, axis=-1)
 
+    # The reference always runs the outlier-robust linear interpolation
+    # after triangulation (pose_refinement.py:1170-1176) — report the
+    # refined number too: it is the number a user of the pipeline sees.
+    from ..refine.interpolation import linear_interpolation
+
+    refined = np.asarray(linear_interpolation(kpts_3d))
+    err3d_ref = np.linalg.norm(refined - traj, axis=-1)
+
     # Detector tightness on the validation frames.
     flat = frames.reshape(-1, scene.height, scene.width, 3)
     boxes = np.asarray(detector.detect(flat))
@@ -205,6 +223,8 @@ def run_accuracy_harness(
     return {
         "mpjpe_3d": float(np.nanmean(err3d)),
         "mpjpe_3d_median": float(np.nanmedian(err3d)),
+        "mpjpe_3d_refined": float(np.nanmean(err3d_ref)),
+        "mpjpe_3d_refined_median": float(np.nanmedian(err3d_ref)),
         "px_err_2d": float(np.nanmean(err2d)),
         "px_err_flip_shift": px_err(True),
         "px_err_flip_noshift": px_err(False),
