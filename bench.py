@@ -56,17 +56,23 @@ def main():
     frames_shape = (T, C, H, W, 3)
     pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
 
-    # Watertight timing through the noisy device tunnel: every iteration's
-    # input is derived from the PREVIOUS iteration's output (base + acc*1e-9),
-    # so no runtime-level memoization or async-completion quirk can skip
-    # work, and all iterations execute strictly sequentially on device.
-    # The repetitions run INSIDE one jitted lax.scan (like the config-1
-    # bench below): per-dispatch link latency through the tunnel is
-    # measured once per outer call, not once per step, so the number is
-    # the chip's throughput rather than the tunnel's.
+    # Watertight timing through the noisy device tunnel.  Two defenses:
+    #
+    # 1. Every iteration's input derives from the previous iteration's
+    #    output (frames + acc*1e-9), so no memoization can skip work and
+    #    all blocks execute strictly sequentially on device.  The
+    #    repetitions run INSIDE one jitted lax.scan so host/link dispatch
+    #    overhead (~30 ms/block on a 1-core host through the tunnel) is
+    #    paid once per outer call, not once per block.
+    # 2. The timed region ends with float(acc) — an actual VALUE fetch.
+    #    On the tunneled backend `block_until_ready()` can return before
+    #    the computation has really retired, which silently inflates
+    #    dispatch-style timings ~2x (measured: 52 ms/block "elapsed" vs
+    #    126 ms with a forced fetch; BENCH_r01's 5063 fps was polluted by
+    #    exactly this).  Only a value round-trip is trustworthy.
     rng = np.random.default_rng(0)
     base = jax.device_put(jnp.asarray(rng.uniform(size=frames_shape), jnp.float32))
-    base.block_until_ready()
+    float(jnp.sum(base))  # force materialization before timing
     bboxes = jax.device_put(
         jnp.tile(jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1))
     )
@@ -84,16 +90,16 @@ def main():
         acc, _ = jax.lax.scan(body, acc0, None, length=N_INNER)
         return acc
 
-    # Warmup / compile.
-    run_block(base, jnp.zeros(())).block_until_ready()
+    # Warmup / compile (forced fetch).
+    float(run_block(base, jnp.zeros(())))
 
-    # Timed steady state.
-    n_outer = 4
+    # Timed steady state, chained outer calls, value-forced at the end.
+    n_outer = 6
     acc = jnp.zeros(())
     t0 = time.perf_counter()
     for _ in range(n_outer):
         acc = run_block(base, acc)
-    acc.block_until_ready()
+    float(acc)
     dt = time.perf_counter() - t0
 
     fps = (T * N_INNER * n_outer) / dt  # multi-camera frames (2 views) per sec
@@ -143,13 +149,13 @@ def bench_triangulation():
         acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=K_ITERS)
         return acc
 
-    fn(kpts).block_until_ready()
+    float(fn(kpts))  # warmup; value fetch (block_until_ready can lie, see main)
     n = 3
     t0 = time.perf_counter()
     acc = jnp.zeros(())
     for _ in range(n):
         acc = acc + fn(kpts + acc * 1e-9)
-    acc.block_until_ready()
+    float(acc)
     dt = (time.perf_counter() - t0) / (n * K_ITERS)
     pts_per_s = T * J / dt
     print(json.dumps({

@@ -52,8 +52,9 @@ def _smallest_eigvec_4x4(B: jax.Array, n_squarings: int = 12) -> jax.Array:
     batched MXU/VPU work.
 
     Measured on v5e: `jnp.linalg.eigh` lowers to a QR-iteration loop at
-    ~3.7 µs per 4×4 solve (0.27 Mpts/s at scale); this measures ≈3.5 Mpts/s
-    per call (12×) through the device link.  Plain per-step power iteration was rejected:
+    ~3.7 µs per 4×4 solve (0.27 Mpts/s at scale); this measures ≈2.6 Mpts/s
+    per call (12×) through the device link with value-forced timing
+    (bench.py).  Plain per-step power iteration was rejected:
     it needs hundreds of steps on noisy DLT systems whose spectral gap
     is small (extrinsic-refinement sampling exposed that).
     The OpenCV/reference parity tests pin the resulting accuracy.
