@@ -44,14 +44,24 @@ def build_parser():
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_augment", action="store_true")
+    p.add_argument("--image_size", type=int, nargs=2, default=(512, 512),
+                   metavar=("W", "H"),
+                   help="common decode size for source images (static batch "
+                        "shapes); match the dataset resolution to avoid "
+                        "host-side resampling")
+    p.add_argument("--dtype", choices=("bfloat16", "float32"),
+                   default="bfloat16",
+                   help="activation dtype: bfloat16 on TPU (MXU-native); "
+                        "float32 on CPU where bf16 is emulated")
     return p
 
 
 def train_model(args) -> TrainState:
     spec = MODEL_REGISTRY[resolve_model_name(args.model)]
     in_w, in_h = spec["input_size"]
+    dtype = jnp.dtype(getattr(args, "dtype", "bfloat16"))
     if spec["family"] == "hrnet":
-        model = HRNet(num_joints=17, cfg=spec["cfg"])
+        model = HRNet(num_joints=17, cfg=spec["cfg"], dtype=dtype)
 
         def loss_fn(outputs, batch):
             return heatmap_mse_loss(
@@ -60,7 +70,8 @@ def train_model(args) -> TrainState:
 
         target = "heatmap"
     else:
-        model = RTMPose(num_joints=17, input_size=spec["input_size"], cfg=spec["cfg"])
+        model = RTMPose(num_joints=17, input_size=spec["input_size"],
+                        cfg=spec["cfg"], dtype=dtype)
 
         def loss_fn(outputs, batch):
             px, py = outputs
@@ -74,6 +85,7 @@ def train_model(args) -> TrainState:
         records,
         batch_size=args.batch_size,
         input_size=spec["input_size"],
+        image_size=tuple(args.image_size),
         target=target,
         seed=args.seed,
         augment=not args.no_augment,

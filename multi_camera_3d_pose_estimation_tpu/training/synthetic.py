@@ -27,6 +27,8 @@ __all__ = [
     "render_frame",
     "person_bbox",
     "SyntheticSceneConfig",
+    "make_scaled_scene",
+    "write_coco_dataset",
 ]
 
 # COCO-17 order: 0 nose, 1/2 l/r eye, 3/4 l/r ear, 5/6 l/r shoulder,
@@ -187,3 +189,75 @@ class SyntheticSceneConfig:
         oy = self.rng.uniform(-10, 25)
         oz = self.rng.uniform(270, 380)
         return coco17_pose(t, origin=(ox, oy, oz), scale=self.scale)
+
+
+def make_scaled_scene(width: int, height: int, seed: int = 0,
+                      n_cams: int = 1) -> "SyntheticSceneConfig":
+    """A scene whose rig is re-framed for the given resolution.
+
+    The default rig frames the person for 256px images; scaling the focal
+    length with the frame keeps every joint in view at any resolution
+    (the train/eval contract `write_coco_dataset` and the convergence
+    benchmarks share).
+    """
+    scene = SyntheticSceneConfig(n_cams=n_cams, width=width, height=height,
+                                 seed=seed)
+    scene.cams = make_rig(n_cams=n_cams, width=width, height=height,
+                          focal=300.0 * min(width, height) / 256.0)
+    return scene
+
+
+def write_coco_dataset(out_dir, n_images: int = 128, width: int = 256,
+                       height: int = 256, seed: int = 0):
+    """Render a synthetic COCO person_keypoints dataset to disk.
+
+    Produces the exact input surface `cli/train.py` consumes
+    (`training.data.parse_coco_keypoints`): an ``images/`` directory of
+    PNGs plus a ``person_keypoints.json`` with per-instance bbox
+    (COCO xywh) and flattened (x, y, v) keypoints.  This closes the
+    train-CLI loop on generated data with no downloads: the reference's
+    MMPose-zoo training capability (SURVEY.md §2.2 rows 8-9) exercised
+    end to end in a zero-egress environment.
+
+    Returns ``(annotations_json_path, images_dir)``.
+    """
+    import json
+    import os
+
+    import cv2
+
+    scene = make_scaled_scene(width, height, seed=seed)
+    K, R, T, _ = scene.cams[0]
+    images_dir = os.path.join(str(out_dir), "images")
+    os.makedirs(images_dir, exist_ok=True)
+
+    images, annotations = [], []
+    for i in range(n_images):
+        pts3d = scene.sample_pose()
+        proj = project_oracle(pts3d, K, R, T)
+        frame = render_frame(proj, width, height, scene.rng)
+        fname = f"img{i:05d}.png"
+        # Frames are RGB in memory; cv2 writes BGR files, and the loader
+        # (KeypointBatcher._load_record) flips imread's BGR back to RGB.
+        cv2.imwrite(os.path.join(images_dir, fname), frame[..., ::-1])
+        x0, y0, x1, y1 = person_bbox(proj, width, height)
+        kps = []
+        for j in range(17):
+            kps += [float(proj[j, 0]), float(proj[j, 1]), 2]
+        images.append({"id": i, "file_name": fname,
+                       "width": width, "height": height})
+        annotations.append({
+            "id": i, "image_id": i, "category_id": 1, "iscrowd": 0,
+            "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+            "keypoints": kps, "num_keypoints": 17,
+        })
+
+    ann_path = os.path.join(str(out_dir), "person_keypoints.json")
+    with open(ann_path, "w") as f:
+        json.dump({
+            "images": images,
+            "annotations": annotations,
+            "categories": [{"id": 1, "name": "person",
+                            "keypoints": _JOINT_TYPES}],
+        }, f)
+    return ann_path, images_dir

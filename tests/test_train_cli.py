@@ -1,0 +1,69 @@
+"""Train-CLI convergence on a generated COCO dataset (VERDICT r1 item 8).
+
+The full user-facing train path — COCO person_keypoints JSON + image dir
+→ `cli/train.py` → checkpoint → registry load → inference — must
+OPTIMIZE TO ACCURACY, not just step.  CPU test budget is tiny (1 core),
+so the assertions here are comparative (trained beats random init by a
+wide margin, loss collapses); the absolute px-error threshold run lives
+in examples/train_synthetic_coco.py (TPU budget, numbers in PARITY.md).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from multi_camera_3d_pose_estimation_tpu.models.registry import build_estimator
+from multi_camera_3d_pose_estimation_tpu.training.synthetic import (
+    write_coco_dataset,
+)
+
+
+def test_write_coco_dataset_roundtrip(tmp_path):
+    """The generated JSON parses through the SAME loader cli/train.py uses."""
+    from multi_camera_3d_pose_estimation_tpu.training import parse_coco_keypoints
+
+    ann, imgs = write_coco_dataset(tmp_path, n_images=3, width=96, height=96)
+    with open(ann) as f:
+        coco = json.load(f)
+    assert len(coco["images"]) == 3 and len(coco["annotations"]) == 3
+    records = parse_coco_keypoints(ann, imgs)
+    assert len(records) == 3
+    rec = records[0]
+    assert rec["keypoints"].shape == (17, 2)
+    assert np.all(rec["visibility"] == 2)
+    x0, y0, x1, y1 = rec["bbox"]
+    assert 0 <= x0 < x1 <= 96 and 0 <= y0 < y1 <= 96
+    # keypoints inside the bbox (it was built from them + margin)
+    assert np.all(rec["keypoints"][:, 0] >= x0 - 1e-3)
+    assert np.all(rec["keypoints"][:, 0] <= x1 + 1e-3)
+    import cv2
+
+    img = cv2.imread(rec["image_path"])
+    assert img is not None and img.shape == (96, 96, 3)
+
+
+@pytest.mark.slow
+def test_train_cli_converges(tmp_path):
+    from examples.train_synthetic_coco import evaluate_px_error
+    from multi_camera_3d_pose_estimation_tpu.cli.train import main as train_main
+
+    size = 128
+    ann, imgs = write_coco_dataset(tmp_path, n_images=64, width=size,
+                                   height=size, seed=0)
+    ckpt = str(tmp_path / "model.npz")
+    train_main([
+        "--annotations", ann, "--images", imgs, "--model", "test_small_128",
+        "--steps", "120", "--batch_size", "8", "--learning_rate", "2e-3",
+        "--out", ckpt, "--checkpoint_every", "0", "--log_every", "60",
+        "--image_size", str(size), str(size), "--no_augment",
+        "--dtype", "float32",  # bf16 is emulated (slow) on the CPU backend
+    ])
+
+    trained = build_estimator("test_small_128", checkpoint=ckpt)
+    random_init = build_estimator("test_small_128", seed=3)
+    px_trained = evaluate_px_error(trained, n_eval=16, width=size, height=size)
+    px_random = evaluate_px_error(random_init, n_eval=16, width=size, height=size)
+    # Random-init argmax decode lands ~uniformly over the crop (tens of px);
+    # 120 steps must already cut that by >40% — proves the CLI loop trains.
+    assert px_trained < 0.6 * px_random, (px_trained, px_random)
