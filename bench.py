@@ -44,32 +44,28 @@ def _ensure_backend(max_retries: int = 3):
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-def main():
-    _ensure_backend()
+def _time_pipeline(pipe, frames_shape, n_inner: int = 5, n_outer: int = 6):
+    """Multi-camera frames/sec of one ShardedPosePipeline, value-forced.
+
+    Watertight timing through the noisy device tunnel.  Two defenses:
+
+    1. Every iteration's input derives from the previous iteration's
+       output (frames + acc*1e-9), so no memoization can skip work and
+       all blocks execute strictly sequentially on device.  The
+       repetitions run INSIDE one jitted lax.scan so host/link dispatch
+       overhead (~30 ms/block on a 1-core host through the tunnel) is
+       paid once per outer call, not once per block.
+    2. The timed region ends with float(acc) — an actual VALUE fetch.
+       On the tunneled backend `block_until_ready()` can return before
+       the computation has really retired, which silently inflates
+       dispatch-style timings ~2x (measured: 52 ms/block "elapsed" vs
+       126 ms with a forced fetch; BENCH_r01's 5063 fps was polluted by
+       exactly this).  Only a value round-trip is trustworthy.
+    """
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _build_pipeline
-    from multi_camera_3d_pose_estimation_tpu.models import HRNET_W32
-
-    T, C, H, W = 256, 2, 256, 256  # 256 frames x 2 cameras per step
-    frames_shape = (T, C, H, W, 3)
-    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
-
-    # Watertight timing through the noisy device tunnel.  Two defenses:
-    #
-    # 1. Every iteration's input derives from the previous iteration's
-    #    output (frames + acc*1e-9), so no memoization can skip work and
-    #    all blocks execute strictly sequentially on device.  The
-    #    repetitions run INSIDE one jitted lax.scan so host/link dispatch
-    #    overhead (~30 ms/block on a 1-core host through the tunnel) is
-    #    paid once per outer call, not once per block.
-    # 2. The timed region ends with float(acc) — an actual VALUE fetch.
-    #    On the tunneled backend `block_until_ready()` can return before
-    #    the computation has really retired, which silently inflates
-    #    dispatch-style timings ~2x (measured: 52 ms/block "elapsed" vs
-    #    126 ms with a forced fetch; BENCH_r01's 5063 fps was polluted by
-    #    exactly this).  Only a value round-trip is trustworthy.
+    T, C, H, W = frames_shape[:4]
     rng = np.random.default_rng(0)
     base = jax.device_put(jnp.asarray(rng.uniform(size=frames_shape), jnp.float32))
     float(jnp.sum(base))  # force materialization before timing
@@ -78,8 +74,6 @@ def main():
     )
     variables = pipe.estimator.variables
 
-    N_INNER = 5
-
     @jax.jit
     def run_block(frames, acc0):
         def body(acc, _):
@@ -87,22 +81,31 @@ def main():
                                    bboxes, pipe.cam_stack)
             return acc + jnp.nansum(out["kpts_3d"]), None
 
-        acc, _ = jax.lax.scan(body, acc0, None, length=N_INNER)
+        acc, _ = jax.lax.scan(body, acc0, None, length=n_inner)
         return acc
 
     # Warmup / compile (forced fetch).
     float(run_block(base, jnp.zeros(())))
 
     # Timed steady state, chained outer calls, value-forced at the end.
-    n_outer = 6
     acc = jnp.zeros(())
     t0 = time.perf_counter()
     for _ in range(n_outer):
         acc = run_block(base, acc)
     float(acc)
     dt = time.perf_counter() - t0
+    return (T * n_inner * n_outer) / dt  # multi-camera frames per sec
 
-    fps = (T * N_INNER * n_outer) / dt  # multi-camera frames (2 views) per sec
+
+def main():
+    _ensure_backend()
+    from __graft_entry__ import _build_pipeline
+    from multi_camera_3d_pose_estimation_tpu.models import HRNET_W32
+
+    T, C, H, W = 256, 2, 256, 256  # 256 frames x 2 cameras per step
+    frames_shape = (T, C, H, W, 3)
+    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
+    fps = _time_pipeline(pipe, frames_shape)
     print(
         json.dumps(
             {
@@ -113,6 +116,46 @@ def main():
             }
         )
     )
+
+
+def bench_simcc():
+    """BASELINE config 3: RTMPose-t SimCC 2D+triangulation throughput."""
+    _ensure_backend()
+    from __graft_entry__ import _build_pipeline
+    from multi_camera_3d_pose_estimation_tpu.models.rtmpose import RTMPOSE_T
+
+    T, C, H, W = 256, 2, 256, 256
+    frames_shape = (T, C, H, W, 3)
+    pipe = _build_pipeline(RTMPOSE_T, (192, 256), frames_shape, family="rtmpose")
+    fps = _time_pipeline(pipe, frames_shape)
+    print(json.dumps({
+        "metric": "2-cam RTMPose-t SimCC 2D+triangulation (config 3)",
+        "value": round(fps, 2), "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 1000.0, 4),
+    }))
+
+
+def bench_multiclip():
+    """BASELINE config 5: 8 synchronized 4-camera clips concurrently.
+
+    The clip axis folds into the time axis (`parallel.run_clips_batched`),
+    so timing the flattened (n_clips*T, 4, H, W, 3) block IS the
+    concurrent-clips workload — one jitted program, no per-clip dispatch.
+    """
+    _ensure_backend()
+    from __graft_entry__ import _build_pipeline
+    from multi_camera_3d_pose_estimation_tpu.models import HRNET_W32
+
+    n_clips, T, C, H, W = 8, 32, 4, 256, 256
+    frames_shape = (n_clips * T, C, H, W, 3)
+    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
+    fps = _time_pipeline(pipe, frames_shape)
+    print(json.dumps({
+        "metric": "8-clip 4-cam HRNet-W32 concurrent farm (config 5)",
+        "value": round(fps, 2), "unit": "frames/sec/chip (4-cam frames)",
+        # 4 cameras = 2x the per-frame model work of the 2-cam north star.
+        "vs_baseline": round(fps / 500.0, 4),
+    }))
 
 
 
@@ -215,5 +258,7 @@ if __name__ == "__main__":
     {
         "main": main,           # headline: config 2 (HRNet-W32 2D+3D)
         "triangulation": bench_triangulation,  # config 1
+        "simcc": bench_simcc,                  # config 3
         "refinement": bench_refinement,        # config 4
+        "multiclip": bench_multiclip,          # config 5
     }[cfg]()

@@ -17,8 +17,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import tempfile
 import time
+
+# Runnable as `python examples/train_synthetic_coco.py` without PYTHONPATH
+# (the axon environment pre-sets PYTHONPATH, which would otherwise need
+# `:/root/repo` appended — see .claude/skills/verify).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def evaluate_px_error(est, n_eval: int = 32, width: int = 256,
