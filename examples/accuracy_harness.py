@@ -10,6 +10,12 @@ Run:  python examples/accuracy_harness.py [--pose_steps 2500] [--det_steps 400]
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Runnable without PYTHONPATH (the axon env pre-sets it; see
+# .claude/skills/verify).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 
@@ -20,6 +26,9 @@ def main():
     p.add_argument("--det_steps", type=int, default=400)
     p.add_argument("--frames", type=int, default=48)
     p.add_argument("--cams", type=int, default=2)
+    p.add_argument("--family", choices=("heatmap", "simcc"), default="heatmap",
+                   help="2D model family: HRNet heatmap (config 2) or "
+                        "RTMPose-t SimCC (config 3)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default=None, help="optional JSON output path")
     args = p.parse_args()
@@ -36,6 +45,7 @@ def main():
         det_steps=args.det_steps,
         pose_steps=args.pose_steps,
         n_cams=args.cams,
+        pose_family=args.family,
     )
     print(json.dumps(metrics, indent=1))
     if args.out:

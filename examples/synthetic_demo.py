@@ -18,6 +18,12 @@ and reference-format artifacts in DIR.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Runnable without PYTHONPATH (the axon env pre-sets it; see
+# .claude/skills/verify).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import os
 

@@ -17,7 +17,51 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["train_synthetic_detector", "train_synthetic_pose", "run_accuracy_harness"]
+__all__ = [
+    "train_synthetic_detector",
+    "train_synthetic_pose",
+    "train_synthetic_simcc",
+    "run_accuracy_harness",
+]
+
+
+def _sample_person_crops(scene, batch: int, input_size):
+    """One training batch of jittered person crops + crop-space keypoints.
+
+    The training box is jittered (scale 0.85-1.25, shift ±8 px) so the
+    model is robust to the DETECTOR's box noise at deploy time — the
+    standard top-down train-time augmentation.  Returns
+    ``(crops (B, in_h, in_w, 3), kp_crop (B, 17, 2))``.
+    """
+    import jax.numpy as jnp
+
+    from ..models.topdown import preprocess_crops
+    from .synthetic import person_bbox, project_oracle, render_frame
+
+    in_w, in_h = input_size
+    H, W = scene.height, scene.width
+    frames, boxes, kps = [], [], []
+    for _ in range(batch):
+        pts = scene.sample_pose()
+        cam = scene.cams[scene.rng.integers(len(scene.cams))]
+        proj = project_oracle(pts, cam[0], cam[1], cam[2])
+        frames.append(render_frame(proj, W, H, scene.rng).astype(np.float32) / 255.0)
+        bb = person_bbox(proj, W, H)
+        c = np.array([(bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2])
+        half = np.array([(bb[2] - bb[0]) / 2, (bb[3] - bb[1]) / 2])
+        half = half * scene.rng.uniform(0.85, 1.25)
+        c = c + scene.rng.uniform(-8, 8, 2)
+        bb = np.array([c[0] - half[0], c[1] - half[1],
+                       c[0] + half[0], c[1] + half[1]], np.float32)
+        boxes.append(bb)
+        kps.append(proj)
+    crops, scale, offset = preprocess_crops(
+        jnp.asarray(np.stack(frames), jnp.float32),
+        jnp.asarray(np.stack(boxes), jnp.float32), (in_w, in_h),
+    )
+    kp_crop = (jnp.asarray(np.stack(kps), jnp.float32)
+               - offset[:, None]) * scale[:, None]
+    return crops, kp_crop
 
 
 def train_synthetic_detector(scene, steps: int = 200, batch: int = 16,
@@ -80,42 +124,16 @@ def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
 
     from ..models.hrnet import HRNet
     from ..models.registry import MODEL_REGISTRY
-    from ..models.topdown import preprocess_crops
     from .loop import make_train_step
     from .losses import heatmap_mse_loss
     from .targets import render_heatmap_targets
-    from .synthetic import person_bbox, project_oracle, render_frame
 
     spec = MODEL_REGISTRY[model_name]
     in_w, in_h = spec["input_size"]
     model = HRNet(num_joints=17, cfg=spec["cfg"], dtype=jnp.float32)
-    H, W = scene.height, scene.width
 
     def sample_batch():
-        frames, boxes, kps = [], [], []
-        for _ in range(batch):
-            pts = scene.sample_pose()
-            cam = scene.cams[scene.rng.integers(len(scene.cams))]
-            proj = project_oracle(pts, cam[0], cam[1], cam[2])
-            frames.append(render_frame(proj, W, H, scene.rng).astype(np.float32) / 255.0)
-            # Jitter the training box (scale 0.85-1.25, shift ±8 px) so the
-            # model is robust to the DETECTOR's box noise at deploy time —
-            # the standard top-down train-time augmentation.
-            bb = person_bbox(proj, W, H)
-            c = np.array([(bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2])
-            half = np.array([(bb[2] - bb[0]) / 2, (bb[3] - bb[1]) / 2])
-            half = half * scene.rng.uniform(0.85, 1.25)
-            c = c + scene.rng.uniform(-8, 8, 2)
-            bb = np.array([c[0] - half[0], c[1] - half[1],
-                           c[0] + half[0], c[1] + half[1]], np.float32)
-            boxes.append(bb)
-            kps.append(proj)
-        crops, scale, offset = preprocess_crops(
-            jnp.asarray(np.stack(frames), jnp.float32),
-            jnp.asarray(np.stack(boxes), jnp.float32), (in_w, in_h),
-        )
-        kp_crop = (jnp.asarray(np.stack(kps), jnp.float32)
-                   - offset[:, None]) * scale[:, None]
+        crops, kp_crop = _sample_person_crops(scene, batch, (in_w, in_h))
         targets, w = render_heatmap_targets(
             kp_crop / 4.0, jnp.ones((batch, 17)), (in_h // 4, in_w // 4),
             sigma=sigma,
@@ -135,6 +153,45 @@ def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
     return model, variables, (in_w, in_h), float(loss)
 
 
+def train_synthetic_simcc(scene, steps: int = 400, batch: int = 8,
+                          model_name: str = "coco_rtmpose-t", lr: float = 3e-3,
+                          seed: int = 0):
+    """Train an RTMPose SimCC model on person crops (BASELINE config 3's
+    model family); returns (model, vars, input_size, loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.registry import MODEL_REGISTRY
+    from ..models.rtmpose import RTMPose
+    from .loop import make_train_step
+    from .losses import simcc_kl_loss
+    from .targets import render_simcc_targets
+
+    spec = MODEL_REGISTRY[model_name]
+    in_w, in_h = spec["input_size"]
+    model = RTMPose(num_joints=17, input_size=spec["input_size"],
+                    cfg=spec["cfg"], dtype=jnp.float32)
+
+    def sample_batch():
+        crops, kp_crop = _sample_person_crops(scene, batch, (in_w, in_h))
+        lx, ly, w = render_simcc_targets(
+            kp_crop, jnp.ones((batch, 17)), (in_w, in_h)
+        )
+        return {"images": crops, "lx": lx, "ly": ly, "w": w}
+
+    def loss_fn(outputs, b):
+        px, py = outputs
+        return simcc_kl_loss(px, py, b["lx"], b["ly"], b["w"])
+
+    init_fn, step_fn = make_train_step(model, loss_fn, learning_rate=lr)
+    state = init_fn(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
+    loss = np.inf
+    for _ in range(steps):
+        state, loss = step_fn(state, sample_batch())
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    return model, variables, (in_w, in_h), float(loss)
+
+
 def run_accuracy_harness(
     n_frames: int = 32,
     det_steps: int = 200,
@@ -143,6 +200,7 @@ def run_accuracy_harness(
     seed: int = 0,
     flip_test: bool = True,
     decode_mode: str = "dark",
+    pose_family: str = "heatmap",
     mesh=None,
 ):
     """Full train→deploy accuracy measurement; returns a metrics dict:
@@ -151,10 +209,14 @@ def run_accuracy_harness(
       end-to-end pipeline's kpts_3d vs the oracle trajectory;
     - ``px_err_2d``: mean pixel error of the 2D stage vs oracle projection;
     - ``px_err_flip_shift`` / ``px_err_flip_noshift``: the flip-shift
-      convention pin (shifted must beat unshifted under x = h·stride);
+      convention pin (shifted must beat unshifted under x = h·stride;
+      heatmap family only — SimCC decodes bin logits, no spatial shift);
     - ``det_tight_frac``: fraction of detector boxes tighter than 60% of
       the frame;
     - training losses for both models.
+
+    ``pose_family``: "heatmap" (HRNet, BASELINE config 2) or "simcc"
+    (RTMPose-t, BASELINE config 3).
     """
     import jax.numpy as jnp
 
@@ -163,11 +225,19 @@ def run_accuracy_harness(
     from ..parallel.pipeline import ShardedPosePipeline
     from .synthetic import SyntheticSceneConfig
 
+    if pose_family not in ("heatmap", "simcc"):
+        raise ValueError(f"unknown pose_family '{pose_family}'")
     scene = SyntheticSceneConfig(n_cams=n_cams, seed=seed)
     detector, det_loss = train_synthetic_detector(scene, steps=det_steps)
-    model, variables, input_size, pose_loss = train_synthetic_pose(
-        scene, steps=pose_steps
-    )
+    if pose_family == "heatmap":
+        model, variables, input_size, pose_loss = train_synthetic_pose(
+            scene, steps=pose_steps
+        )
+    else:
+        model, variables, input_size, pose_loss = train_synthetic_simcc(
+            scene, steps=pose_steps
+        )
+        decode_mode = "default"  # DARK is a heatmap-space refinement
 
     # Validation clip (fresh noise, smooth trajectory).
     traj = scene.trajectory(n_frames)
@@ -179,7 +249,8 @@ def run_accuracy_harness(
         proj_all[i] = p
 
     est = TopDownEstimator(
-        model, variables, input_size=input_size, decode="heatmap",
+        model, variables, input_size=input_size,
+        decode="heatmap" if pose_family == "heatmap" else "simcc",
         flip_test=flip_test, decode_mode=decode_mode,
     )
     cam_stack = stack_camera_params(scene.cams)
@@ -220,17 +291,20 @@ def run_accuracy_harness(
         k = np.asarray(o["keypoints"])[..., :2]
         return float(np.linalg.norm(k - proj_flat, axis=-1).mean())
 
-    return {
+    metrics = {
         "mpjpe_3d": float(np.nanmean(err3d)),
         "mpjpe_3d_median": float(np.nanmedian(err3d)),
         "mpjpe_3d_refined": float(np.nanmean(err3d_ref)),
         "mpjpe_3d_refined_median": float(np.nanmedian(err3d_ref)),
         "px_err_2d": float(np.nanmean(err2d)),
-        "px_err_flip_shift": px_err(True),
-        "px_err_flip_noshift": px_err(False),
         "det_tight_frac": tight,
         "det_loss": det_loss,
         "pose_loss": pose_loss,
+        "pose_family": pose_family,
         "n_frames": n_frames,
         "n_cams": n_cams,
     }
+    if pose_family == "heatmap":
+        metrics["px_err_flip_shift"] = px_err(True)
+        metrics["px_err_flip_noshift"] = px_err(False)
+    return metrics

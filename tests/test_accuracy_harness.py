@@ -97,3 +97,16 @@ def test_accuracy_harness_smoke():
                 "pose_loss"):
         assert key in m and np.isfinite(m[key]), (key, m)
     assert 0.0 <= m["det_tight_frac"] <= 1.0
+
+
+def test_accuracy_harness_simcc_smoke():
+    """SimCC family (RTMPose-t, BASELINE config 3) through the same
+    train→deploy harness; flip-shift keys are heatmap-only by design."""
+    from multi_camera_3d_pose_estimation_tpu.training import run_accuracy_harness
+
+    m = run_accuracy_harness(n_frames=2, det_steps=10, pose_steps=10,
+                             pose_family="simcc")
+    for key in ("mpjpe_3d", "px_err_2d", "det_tight_frac", "pose_loss"):
+        assert key in m and np.isfinite(m[key]), (key, m)
+    assert m["pose_family"] == "simcc"
+    assert "px_err_flip_shift" not in m
