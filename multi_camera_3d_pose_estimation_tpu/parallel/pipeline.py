@@ -50,10 +50,16 @@ class ShardedPosePipeline:
     """
 
     def __init__(self, estimator, cam_stack, mesh=None, conf_threshold: float = 0.3,
-                 detector=None):
+                 detector=None, donate_frames: bool = False):
         self.estimator = estimator
         self.mesh = mesh
         self.conf_threshold = float(conf_threshold)
+        # ``donate_frames``: donate the frames buffer to the jitted program
+        # so XLA reuses its HBM for intermediates/outputs — right for
+        # streaming callers that feed a FRESH block every call
+        # (cli/estimate.py's video loop); wrong for callers that reuse one
+        # device array across calls (bench.py's chained timing).
+        self.donate_frames = bool(donate_frames)
         self.cam_stack = {k: jnp.asarray(v, jnp.float32) for k, v in cam_stack.items()}
         # Optional person detector (models.SinglePersonDetector): its
         # CenterNet forward + top-1 decode runs INSIDE the same jitted
@@ -81,8 +87,9 @@ class ShardedPosePipeline:
                 det_model if fn_use_det else None,
                 det_thr,
             )
+            donate = (2,) if self.donate_frames else ()
             if mesh is None:
-                return jax.jit(fn)
+                return jax.jit(fn, donate_argnums=donate)
             rep = replicated(mesh)
             return jax.jit(
                 fn,
@@ -93,6 +100,7 @@ class ShardedPosePipeline:
                     data_sharding(mesh, 3),  # bboxes (T, C, 4)
                     rep,  # cam stack
                 ),
+                donate_argnums=donate,
             )
 
         self._make = make

@@ -63,6 +63,30 @@ def test_sharded_pipeline_matches_single_device(small_pipeline_parts):
         )
 
 
+def test_donated_frames_pipeline_matches(small_pipeline_parts):
+    """donate_frames recycles the block's HBM (cli/estimate streaming);
+    results must be identical to the non-donated program on fresh blocks."""
+    est, cam_stack = small_pipeline_parts
+    rng = np.random.default_rng(1)
+    frames = rng.uniform(size=(4, 2, 120, 160, 3)).astype(np.float32)
+
+    plain = ShardedPosePipeline(est, cam_stack)
+    donated = ShardedPosePipeline(est, cam_stack, donate_frames=True)
+    out_p = plain.run(frames)
+    # fresh host array each call — the donated buffer is never reused
+    out_d1 = donated.run(frames.copy())
+    out_d2 = donated.run(frames.copy())
+    for key in ("kpts_2d", "heatmaps_2d", "kpts_3d"):
+        np.testing.assert_allclose(
+            np.asarray(out_p[key]), np.asarray(out_d1[key]),
+            rtol=1e-6, atol=1e-6, err_msg=key, equal_nan=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_d1[key]), np.asarray(out_d2[key]),
+            rtol=0, atol=0, err_msg=key, equal_nan=True,
+        )
+
+
 def test_sharded_pipeline_wire_shapes(small_pipeline_parts):
     est, cam_stack = small_pipeline_parts
     mesh = make_mesh(8)
