@@ -33,7 +33,6 @@ def run_pipeline_on_videos(
     pipeline: ShardedPosePipeline,
     video_paths,
     block_size: int = 16,
-    conf_threshold: float = 0.3,
     progress: bool = True,
 ):
     """Stream videos through the jitted pipeline; returns stacked results."""
