@@ -29,6 +29,10 @@ def main():
     p.add_argument("--family", choices=("heatmap", "simcc"), default="heatmap",
                    help="2D model family: HRNet heatmap (config 2) or "
                         "RTMPose-t SimCC (config 3)")
+    p.add_argument("--model", default=None,
+                   help="registry model name override (e.g. "
+                        "test_small_192x256 for the production-crop-size "
+                        "heatmap model)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default=None, help="optional JSON output path")
     args = p.parse_args()
@@ -46,6 +50,7 @@ def main():
         pose_steps=args.pose_steps,
         n_cams=args.cams,
         pose_family=args.family,
+        pose_model_name=args.model,
     )
     print(json.dumps(metrics, indent=1))
     if args.out:

@@ -61,6 +61,14 @@ MODEL_REGISTRY: dict[str, dict[str, Any]] = {
         "decode": "heatmap",
         "input_size": (128, 128),
     },
+    # Same small HRNet at the production crop size (48x64 heatmap) — the
+    # accuracy harness's heatmap-family model (TPU-budget trainable).
+    "test_small_192x256": {
+        "family": "hrnet",
+        "cfg": {"widths": (16, 32, 64, 128), "modules": (1, 1, 1, 1), "stem": 32},
+        "decode": "heatmap",
+        "input_size": (192, 256),
+    },
 }
 
 _ALIASES = {

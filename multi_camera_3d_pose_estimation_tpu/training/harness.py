@@ -201,6 +201,7 @@ def run_accuracy_harness(
     flip_test: bool = True,
     decode_mode: str = "dark",
     pose_family: str = "heatmap",
+    pose_model_name: str | None = None,
     mesh=None,
 ):
     """Full train→deploy accuracy measurement; returns a metrics dict:
@@ -231,11 +232,13 @@ def run_accuracy_harness(
     detector, det_loss = train_synthetic_detector(scene, steps=det_steps)
     if pose_family == "heatmap":
         model, variables, input_size, pose_loss = train_synthetic_pose(
-            scene, steps=pose_steps
+            scene, steps=pose_steps,
+            **({"model_name": pose_model_name} if pose_model_name else {}),
         )
     else:
         model, variables, input_size, pose_loss = train_synthetic_simcc(
-            scene, steps=pose_steps
+            scene, steps=pose_steps,
+            **({"model_name": pose_model_name} if pose_model_name else {}),
         )
         decode_mode = "default"  # DARK is a heatmap-space refinement
 
