@@ -13,8 +13,10 @@ from .losses import heatmap_mse_loss, simcc_kl_loss, centernet_focal_loss
 from .augment import random_flip_pose, random_affine_params
 from .loop import make_train_step, TrainState
 from .data import parse_coco_keypoints, KeypointBatcher, make_crop_batch
-from .synthetic import SyntheticSceneConfig, coco17_pose, make_rig, project_oracle
-from .harness import run_accuracy_harness
+from .synthetic import (SyntheticSceneConfig, coco17_pose, make_rig,
+                        make_scaled_scene, project_oracle, write_coco_dataset)
+from .harness import (run_accuracy_harness, train_synthetic_detector,
+                      train_synthetic_pose, train_synthetic_simcc)
 
 __all__ = [
     "render_heatmap_targets",
@@ -33,6 +35,11 @@ __all__ = [
     "SyntheticSceneConfig",
     "coco17_pose",
     "make_rig",
+    "make_scaled_scene",
     "project_oracle",
+    "write_coco_dataset",
     "run_accuracy_harness",
+    "train_synthetic_detector",
+    "train_synthetic_pose",
+    "train_synthetic_simcc",
 ]
