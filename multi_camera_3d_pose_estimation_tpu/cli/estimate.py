@@ -32,7 +32,7 @@ __all__ = ["estimate_pose_from_video", "run_pipeline_on_videos"]
 def run_pipeline_on_videos(
     pipeline: ShardedPosePipeline,
     video_paths,
-    block_size: int = 16,
+    block_size: int = 64,
     progress: bool = True,
 ):
     """Stream videos through the jitted pipeline; returns stacked results."""
@@ -76,7 +76,7 @@ def estimate_pose_from_video(
     detector_bbox_thr: float = 0.3,
     save_dir: str | None = None,
     overwrite: bool = False,
-    block_size: int = 16,
+    block_size: int = 64,
     conf_threshold: float = 0.3,
     mesh=None,
     num_joints: int = 17,
