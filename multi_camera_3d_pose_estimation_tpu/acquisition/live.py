@@ -97,7 +97,6 @@ class LiveCaptureSource:
         last_keep = 0.0
         try:
             while len(frames) < self.n_frames and attempts < self.max_attempts:
-                attempts += 1
                 ok, frame = cap.read()
                 if not ok:
                     break
@@ -108,7 +107,12 @@ class LiveCaptureSource:
                     cv2.waitKey(1)
                 now = time.monotonic()
                 if now - last_keep < self.cooldown_s:
+                    # Cooldown-skipped reads don't consume the attempt
+                    # budget: a real camera streams ~30 fps, so counting
+                    # every read would burn ~30·cooldown_s attempts per
+                    # kept frame and exhaust max_attempts on hardware.
                     continue
+                attempts += 1
                 if self._detectable(frame):
                     frames.append(np.asarray(frame))
                     last_keep = now
@@ -175,7 +179,6 @@ class LiveStereoCaptureSource:
         last_keep = 0.0
         try:
             while len(pairs) < self.n_pairs and attempts < self.max_attempts:
-                attempts += 1
                 ok0, f0 = cap0.read()
                 ok1, f1 = cap1.read()
                 if not (ok0 and ok1):
@@ -188,7 +191,10 @@ class LiveStereoCaptureSource:
                     cv2.waitKey(1)
                 now = time.monotonic()
                 if now - last_keep < self.cooldown_s:
+                    # See LiveCaptureSource: only cooldown-eligible pairs
+                    # consume the attempt budget.
                     continue
+                attempts += 1
                 if self._both_detectable(f0, f1):
                     pairs.append((np.asarray(f0), np.asarray(f1)))
                     last_keep = now
@@ -213,10 +219,12 @@ def live_sync_frame_picker(video_paths, sync_indices, window: int = 5,
     display_and_select_frame, synchronize_videos.py:142-193).
 
     Shows each camera's candidate grid in a cv2 window; the operator
-    presses a digit 0..2·window to pick the column (Enter keeps the
-    audio-derived index).  Headless environments get the saved inspection
-    grid instead (`sync.build_sync_inspection_grid`) and the indices pass
-    through unchanged.  Returns the adjusted index list.
+    presses a digit ``0``-``9`` or a letter ``a``-``z`` (``a`` = column
+    10, ``b`` = 11, …) to pick the column — the default ``window=5``
+    grid has 11 columns, one more than the digit keys cover (Enter keeps
+    the audio-derived index).  Headless environments get the saved
+    inspection grid instead (`sync.build_sync_inspection_grid`) and the
+    indices pass through unchanged.  Returns the adjusted index list.
     """
     from ..sync.videos import build_sync_inspection_grid
 
@@ -234,10 +242,13 @@ def live_sync_frame_picker(video_paths, sync_indices, window: int = 5,
         cv2.imshow(f"pick sync frame: {os.path.basename(path)}", img)
         key = cv2.waitKey(wait_ms) & 0xFF
         cv2.destroyAllWindows()
+        col = None
         if ord("0") <= key <= ord("9"):
             col = key - ord("0")
-            if col < len(frame_range):
-                adjusted.append(idx + frame_range[col])
-                continue
-        adjusted.append(idx)
+        elif ord("a") <= key <= ord("z"):
+            col = 10 + key - ord("a")
+        if col is not None and col < len(frame_range):
+            adjusted.append(idx + frame_range[col])
+        else:
+            adjusted.append(idx)
     return adjusted

@@ -286,6 +286,22 @@ def load_torch_rtmpose(variables: dict, path: str, cfg: dict | None = None) -> d
             f"{missing[:5]} — is this an MMPose RTMPose checkpoint matching "
             f"the configured widen/deepen factors?"
         )
+    # Strict both ways: an RTMPose VARIANT checkpoint (use_rel_bias /
+    # pos_enc GAU params, EMA shadows, …) would pass the missing-key check
+    # yet silently produce wrong forwards if its extra tensors were
+    # dropped.  num_batches_tracked is the only torch bookkeeping tensor
+    # with no flax counterpart.
+    expected = {tkey for tkey, _, _ in _rtmpose_key_table(cfg)}
+    leftovers = [
+        k for k in state
+        if k not in expected and not k.endswith("num_batches_tracked")
+    ]
+    if leftovers:
+        raise ValueError(
+            f"RTMPose checkpoint has {len(leftovers)} unexpected tensors, "
+            f"e.g. {sorted(leftovers)[:5]} — an unsupported RTMPose variant "
+            f"(rel_bias/pos_enc/EMA)?  Refusing to load partially."
+        )
 
     applied = set()
 

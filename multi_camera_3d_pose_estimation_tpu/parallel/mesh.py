@@ -94,6 +94,17 @@ def make_clip_mesh(
             f"mesh {n_outer}x{n_inner} needs {n_outer * n_inner} devices, "
             f"have {len(devices)}"
         )
+    if n_outer * n_inner < len(devices):
+        # Never leave chips silently idle: n_inner floors when the device
+        # count is not a multiple of n_outer, so surface the truncation.
+        import warnings
+
+        warnings.warn(
+            f"make_clip_mesh {n_outer}x{n_inner} uses only "
+            f"{n_outer * n_inner} of {len(devices)} devices; "
+            f"{len(devices) - n_outer * n_inner} chips will sit idle",
+            stacklevel=2,
+        )
     grid = np.array(devices[: n_outer * n_inner]).reshape(n_outer, n_inner)
     return Mesh(grid, axes)
 
