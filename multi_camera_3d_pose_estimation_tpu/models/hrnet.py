@@ -26,11 +26,49 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-__all__ = ["HRNet", "HRNET_W32", "HRNET_W48"]
+__all__ = ["HRNet", "HRNET_W32", "HRNET_W48", "set_conv_barriers"]
 
 # (channels per branch, num modules per stage)
 HRNET_W32 = {"widths": (32, 64, 128, 256), "modules": (1, 1, 4, 3), "stem": 64}
 HRNET_W48 = {"widths": (48, 96, 192, 384), "modules": (1, 1, 4, 3), "stem": 64}
+
+# Measured scheduling issue (PROFILE.md): XLA fuses the residual-add /
+# cross-branch-sum epilogues INTO conv output loops, dragging 3-4 extra
+# full-size activation reads through the MXU pipeline — identical
+# [3,3,32,32] convs run 21 TFLOP/s with such an epilogue vs 119 TFLOP/s
+# bare.  Barrier modes (tracing-time global; ConvBN is instantiated
+# throughout the tree):
+#   "off"      — let XLA fuse freely (baseline; 2694 fps measured).
+#   "all"      — optimization_barrier after EVERY ConvBN.  Measured NET
+#                LOSS (2223 fps): it also kills the beneficial patterns
+#                (BN/ReLU input-fusions into the next conv, and the
+#                memory-saving residual epilogues of the HBM-bound
+#                stage-1 1x1 bottleneck convs).  Kept as evidence.
+#   "residual" — barrier only between a BasicBlock's second conv and the
+#                residual/fuse-sum adds: splits the multi-tensor VPU
+#                epilogue off the MXU-heavy 3x3s while leaving every
+#                other fusion free.
+_CONV_BARRIERS = "off"
+
+
+def set_conv_barriers(mode) -> None:
+    """Set conv-fusion barrier mode: "off" (default) | "all" | "residual".
+
+    Takes effect at TRACE time — call before jit/compile of the model."""
+    global _CONV_BARRIERS
+    if mode is True:
+        mode = "all"
+    if mode is False or mode is None:
+        mode = "off"
+    if mode not in ("off", "all", "residual"):
+        raise ValueError(f"unknown barrier mode {mode!r}")
+    _CONV_BARRIERS = mode
+
+
+def _barrier(x):
+    import jax
+
+    return jax.lax.optimization_barrier(x)
 
 
 class ConvBN(nn.Module):
@@ -64,6 +102,8 @@ class ConvBN(nn.Module):
         )(x)
         if self.act:
             x = nn.relu(x)
+        if _CONV_BARRIERS == "all":
+            x = _barrier(x)
         return x
 
 
@@ -98,6 +138,11 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         y = ConvBN(self.features, 3, dtype=self.dtype)(x, train)
         y = ConvBN(self.features, 3, act=False, dtype=self.dtype)(y, train)
+        if _CONV_BARRIERS == "residual":
+            # Keep the residual add (and any downstream fuse-layer sums
+            # that would chain onto it) OUT of the conv's output loop —
+            # see _CONV_BARRIERS.
+            y = _barrier(y)
         return nn.relu(y + x)
 
 

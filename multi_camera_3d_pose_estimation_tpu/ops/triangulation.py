@@ -71,7 +71,11 @@ def _smallest_eigvec_4x4(B: jax.Array, n_squarings: int = 12) -> jax.Array:
         scale = jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True)
         return M / jnp.maximum(scale, 1e-30)
 
-    M = jax.lax.fori_loop(0, n_squarings, body, M)
+    # Unrolled (static 12 squarings): the whole batch is a few MB, so a
+    # device while loop would pay per-iteration launch overhead far above
+    # the 4×4-matmul math; unrolled, XLA fuses the chain (PROFILE.md).
+    for i in range(n_squarings):
+        M = body(i, M)
     # Deterministic start with components in every eigendirection.
     v0 = jnp.full(B.shape[:-2] + (4,), 0.5, B.dtype).at[..., 0].set(0.9)
     v = jnp.einsum("...ij,...j->...i", M, v0,
