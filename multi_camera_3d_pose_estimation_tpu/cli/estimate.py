@@ -34,11 +34,33 @@ def run_pipeline_on_videos(
     video_paths,
     block_size: int = 64,
     progress: bool = True,
+    inflight: int = 2,
 ):
-    """Stream videos through the jitted pipeline; returns stacked results."""
+    """Stream videos through the jitted pipeline; returns stacked results.
+
+    Three-way overlap: the decode thread fills host blocks
+    (`BatchedFramePipeline`), `device_put` stages the next block while the
+    device runs the current one, and result fetches trail ``inflight``
+    blocks behind dispatch — the D2H copy + numpy conversion of block N
+    overlaps block N+1's compute instead of serializing after it (jax
+    async dispatch makes `pipeline.run` return futures; only
+    `np.asarray` blocks).
+    """
+    from collections import deque
+
     frames_src = BatchedFramePipeline(video_paths, block_size=block_size)
     kpts_2d, heatmaps, kpts_3d = [], [], []
     n_done = 0
+
+    def drain(item):
+        nonlocal n_done
+        out, n_valid = item
+        kpts_2d.append(np.asarray(out["kpts_2d"])[:n_valid])
+        heatmaps.append(np.asarray(out["heatmaps_2d"])[:n_valid])
+        kpts_3d.append(np.asarray(out["kpts_3d"])[:n_valid])
+        n_done += n_valid
+
+    pending: deque = deque()
     try:
         iterator = frames_src
         if progress:
@@ -49,11 +71,11 @@ def run_pipeline_on_videos(
             except ImportError:
                 pass
         for block, n_valid in iterator:
-            out = pipeline.run(block)
-            kpts_2d.append(np.asarray(out["kpts_2d"])[:n_valid])
-            heatmaps.append(np.asarray(out["heatmaps_2d"])[:n_valid])
-            kpts_3d.append(np.asarray(out["kpts_3d"])[:n_valid])
-            n_done += n_valid
+            pending.append((pipeline.run(block), n_valid))
+            if len(pending) > max(int(inflight), 0):
+                drain(pending.popleft())
+        while pending:
+            drain(pending.popleft())
     finally:
         frames_src.close()
     if not kpts_2d:

@@ -59,6 +59,12 @@ class ShardedPosePipeline:
         # streaming callers that feed a FRESH block every call
         # (cli/estimate.py's video loop); wrong for callers that reuse one
         # device array across calls (bench.py's chained timing).
+        # Donation only ever applies to float32 blocks: XLA aliases donated
+        # buffers by byte layout, and a uint8 block can't back any f32
+        # intermediate — donating one is a guaranteed no-op that just
+        # prints "Some donated buffers were not usable".  `run` therefore
+        # routes uint8 input (the streaming CLI's wire format — 4× less
+        # H2D than pre-cast f32) through the non-donating executable.
         self.donate_frames = bool(donate_frames)
         self.cam_stack = {k: jnp.asarray(v, jnp.float32) for k, v in cam_stack.items()}
         # Optional person detector (models.SinglePersonDetector): its
@@ -71,7 +77,7 @@ class ShardedPosePipeline:
         self.det_variables = getattr(detector, "variables", None)
         self._has_detector = det_model is not None and self.det_variables is not None
 
-        def make(fn_use_det: bool):
+        def make(fn_use_det: bool, donate: bool = False):
             fn = partial(
                 _pipeline_fn,
                 estimator.model,
@@ -87,9 +93,9 @@ class ShardedPosePipeline:
                 det_model if fn_use_det else None,
                 det_thr,
             )
-            donate = (2,) if self.donate_frames else ()
+            donate_nums = (2,) if donate else ()
             if mesh is None:
-                return jax.jit(fn, donate_argnums=donate)
+                return jax.jit(fn, donate_argnums=donate_nums)
             rep = replicated(mesh)
             return jax.jit(
                 fn,
@@ -100,13 +106,25 @@ class ShardedPosePipeline:
                     data_sharding(mesh, 3),  # bboxes (T, C, 4)
                     rep,  # cam stack
                 ),
-                donate_argnums=donate,
+                donate_argnums=donate_nums,
             )
 
         self._make = make
-        self._run_detect = make(self._has_detector)
-        # Explicit user boxes bypass the detector (compiled on first use).
-        self._run_given = self._run_detect if not self._has_detector else None
+        # Executables keyed by (use_detector, donate); built lazily except
+        # the common entry.
+        self._fns: dict[tuple[bool, bool], object] = {}
+        self._fns[(self._has_detector, False)] = make(self._has_detector, False)
+
+    def _fn(self, use_det: bool, donate: bool):
+        key = (use_det, donate)
+        if key not in self._fns:
+            self._fns[key] = self._make(use_det, donate)
+        return self._fns[key]
+
+    @property
+    def _run_detect(self):
+        """The non-donating jitted pipeline fn (bench/entry call this raw)."""
+        return self._fn(self._has_detector, False)
 
     def run(self, frames, bboxes=None):
         # uint8 frames stay uint8 until inside the jitted program (4x less
@@ -114,16 +132,15 @@ class ShardedPosePipeline:
         frames = jnp.asarray(frames)
         T, C, H, W = frames.shape[:4]
         use_detector = bboxes is None and self._has_detector
+        # Donation is requested only when it can actually alias: a float32
+        # block matches the program's intermediate dtype; uint8 never does
+        # (see __init__) and donating it would warn-and-drop every call.
+        donate = self.donate_frames and frames.dtype == jnp.float32
         if bboxes is None:
             bboxes = jnp.tile(
                 jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1)
             )
-            fn = self._run_detect
-        else:
-            if self._run_given is None:
-                # lazily build the detector-free variant for explicit boxes
-                self._run_given = self._make(False)
-            fn = self._run_given
+        fn = self._fn(use_detector, donate)
         det_vars = self.det_variables if use_detector else None
         return fn(self.estimator.variables, det_vars, frames,
                   jnp.asarray(bboxes), self.cam_stack)
