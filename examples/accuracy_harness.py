@@ -35,6 +35,17 @@ def main():
                         "heatmap model)")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default=None, help="optional JSON output path")
+    p.add_argument("--distortion", action="store_true",
+                   help="synthesize the rig with the default 5-coeff lens "
+                        "distortion (exercises iterative undistortion with "
+                        "trained weights)")
+    p.add_argument("--hard", action="store_true",
+                   help="hard domain: clutter, occluders, scale variation, "
+                        "distractor person")
+    p.add_argument("--sgd", action="store_true",
+                   help="chain the full MLE SGD refinement onto the "
+                        "pipeline output and report mpjpe_3d_sgd")
+    p.add_argument("--sgd_max_iter", type=int, default=3000)
     args = p.parse_args()
 
     if args.cpu:
@@ -51,6 +62,10 @@ def main():
         n_cams=args.cams,
         pose_family=args.family,
         pose_model_name=args.model,
+        distortion=True if args.distortion else None,
+        hard=args.hard,
+        sgd_refine=args.sgd,
+        sgd_kwargs={"max_iter": args.sgd_max_iter},
     )
     print(json.dumps(metrics, indent=1))
     if args.out:

@@ -79,5 +79,37 @@ def load_mediadec():
         ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.md_remux_with_audio.restype = ctypes.c_int
+    lib.md_remux_with_audio.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_longlong,
+        ctypes.c_int,
+    ]
     _lib = lib
     return lib
+
+
+def remux_with_audio(video_in: str, out_path: str, samples, sample_rate: int) -> None:
+    """Write ``out_path`` = video stream of ``video_in`` (stream-copied, no
+    re-encode) + a mono pcm_s16le track of ``samples`` (float [-1, 1]).
+
+    Container PCM needs no real encoder, so this works in minimal libav
+    builds — it exists to synthesize audio-bearing .mov/.mp4 fixtures for
+    the audio-sync path (reference synchronize_videos.py:203).  Raises if
+    the native library is unavailable or the mux fails.
+    """
+    import numpy as np
+
+    lib = load_mediadec()
+    if lib is None:
+        raise RuntimeError("native mediadec library unavailable")
+    arr = np.ascontiguousarray(np.asarray(samples, np.float32))
+    rc = lib.md_remux_with_audio(
+        str(video_in).encode(), str(out_path).encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(arr.size), int(sample_rate),
+    )
+    if rc != 0:
+        raise RuntimeError(f"md_remux_with_audio failed with code {rc}")

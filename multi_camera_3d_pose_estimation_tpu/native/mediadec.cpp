@@ -293,4 +293,145 @@ long long md_read_audio(const char* path, float* out, long long max_samples,
   return written;
 }
 
+// Remux a video file into `out_path` (container chosen by extension, e.g.
+// .mov/.mp4) adding a mono pcm_s16le audio track built from `samples`
+// (float in [-1, 1]) at `sample_rate`.  Video packets are STREAM-COPIED
+// (no video encoder needed); PCM "encoding" is a byte repack that every
+// libavcodec build ships.  Purpose: synthesize audio-bearing containers
+// for the audio-sync path (reference synchronize_videos.py:203 extracts
+// audio from the recorded .movs) in environments with no full encoder —
+// closes the PARITY "audio decode coverage" gap with a real in-container
+// fixture.  Returns 0 on success, negative on error.
+int md_remux_with_audio(const char* video_in, const char* out_path,
+                        const float* samples, long long n_samples,
+                        int sample_rate) {
+  AVFormatContext* in_fmt = nullptr;
+  if (avformat_open_input(&in_fmt, video_in, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(in_fmt, nullptr) < 0) {
+    avformat_close_input(&in_fmt);
+    return -2;
+  }
+  int vsi = av_find_best_stream(in_fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (vsi < 0) {
+    avformat_close_input(&in_fmt);
+    return -3;
+  }
+
+  AVFormatContext* out_fmt = nullptr;
+  if (avformat_alloc_output_context2(&out_fmt, nullptr, nullptr, out_path) < 0 ||
+      !out_fmt) {
+    avformat_close_input(&in_fmt);
+    return -4;
+  }
+
+  // Video: stream copy.
+  AVStream* v_out = avformat_new_stream(out_fmt, nullptr);
+  avcodec_parameters_copy(v_out->codecpar, in_fmt->streams[vsi]->codecpar);
+  v_out->codecpar->codec_tag = 0;
+  v_out->time_base = in_fmt->streams[vsi]->time_base;
+
+  // Audio: trivial PCM encoder.
+  const AVCodec* pcm = avcodec_find_encoder(AV_CODEC_ID_PCM_S16LE);
+  int rc = 0;
+  AVCodecContext* enc = nullptr;
+  AVStream* a_out = nullptr;
+  if (!pcm) {
+    rc = -5;
+  } else {
+    enc = avcodec_alloc_context3(pcm);
+    enc->sample_rate = sample_rate;
+    enc->sample_fmt = AV_SAMPLE_FMT_S16;
+    AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+    av_channel_layout_copy(&enc->ch_layout, &mono);
+    enc->time_base = AVRational{1, sample_rate};
+    if (avcodec_open2(enc, pcm, nullptr) < 0) rc = -6;
+    if (rc == 0) {
+      a_out = avformat_new_stream(out_fmt, nullptr);
+      avcodec_parameters_from_context(a_out->codecpar, enc);
+      a_out->time_base = enc->time_base;
+    }
+  }
+
+  if (rc == 0 && !(out_fmt->oformat->flags & AVFMT_NOFILE) &&
+      avio_open(&out_fmt->pb, out_path, AVIO_FLAG_WRITE) < 0) {
+    rc = -7;
+  }
+  if (rc == 0 && avformat_write_header(out_fmt, nullptr) < 0) rc = -8;
+
+  AVPacket* pkt = av_packet_alloc();
+  // Copy every video packet (fixtures are short: interleaving buffers are
+  // fine with audio written afterwards).
+  while (rc == 0 && av_read_frame(in_fmt, pkt) >= 0) {
+    if (pkt->stream_index == vsi) {
+      av_packet_rescale_ts(pkt, in_fmt->streams[vsi]->time_base,
+                           v_out->time_base);
+      pkt->stream_index = v_out->index;
+      if (av_interleaved_write_frame(out_fmt, pkt) < 0) rc = -9;
+    }
+    av_packet_unref(pkt);
+  }
+
+  // Feed PCM in frame-sized chunks.
+  if (rc == 0) {
+    const int chunk = 1024;
+    AVFrame* af = av_frame_alloc();
+    long long pos = 0;
+    while (rc == 0 && pos < n_samples) {
+      int n = int(n_samples - pos < chunk ? n_samples - pos : chunk);
+      af->nb_samples = n;
+      af->format = AV_SAMPLE_FMT_S16;
+      AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+      av_channel_layout_copy(&af->ch_layout, &mono);
+      af->sample_rate = sample_rate;
+      if (av_frame_get_buffer(af, 0) < 0) {
+        rc = -10;
+        break;
+      }
+      auto* dst = reinterpret_cast<int16_t*>(af->data[0]);
+      for (int i = 0; i < n; ++i) {
+        float v = samples[pos + i];
+        if (v > 1.f) v = 1.f;
+        if (v < -1.f) v = -1.f;
+        dst[i] = int16_t(v * 32767.f);
+      }
+      af->pts = pos;
+      if (avcodec_send_frame(enc, af) < 0) rc = -11;
+      AVPacket* apkt = av_packet_alloc();
+      while (rc == 0 && avcodec_receive_packet(enc, apkt) == 0) {
+        av_packet_rescale_ts(apkt, enc->time_base, a_out->time_base);
+        apkt->stream_index = a_out->index;
+        if (av_interleaved_write_frame(out_fmt, apkt) < 0) rc = -12;
+        av_packet_unref(apkt);
+      }
+      av_packet_free(&apkt);
+      av_frame_unref(af);
+      pos += n;
+    }
+    // Flush the (stateless) PCM encoder for form's sake.
+    if (rc == 0) {
+      avcodec_send_frame(enc, nullptr);
+      AVPacket* apkt = av_packet_alloc();
+      while (avcodec_receive_packet(enc, apkt) == 0) {
+        av_packet_rescale_ts(apkt, enc->time_base, a_out->time_base);
+        apkt->stream_index = a_out->index;
+        av_interleaved_write_frame(out_fmt, apkt);
+        av_packet_unref(apkt);
+      }
+      av_packet_free(&apkt);
+    }
+    av_frame_free(&af);
+  }
+
+  if (rc == 0) av_write_trailer(out_fmt);
+  av_packet_free(&pkt);
+  if (enc) avcodec_free_context(&enc);
+  if (out_fmt) {
+    if (!(out_fmt->oformat->flags & AVFMT_NOFILE) && out_fmt->pb)
+      avio_closep(&out_fmt->pb);
+    avformat_free_context(out_fmt);
+  }
+  avformat_close_input(&in_fmt);
+  return rc;
+}
+
 }  // extern "C"

@@ -36,7 +36,7 @@ def _sample_person_crops(scene, batch: int, input_size):
     import jax.numpy as jnp
 
     from ..models.topdown import preprocess_crops
-    from .synthetic import person_bbox, project_oracle, render_frame
+    from .synthetic import person_bbox
 
     in_w, in_h = input_size
     H, W = scene.height, scene.width
@@ -44,8 +44,8 @@ def _sample_person_crops(scene, batch: int, input_size):
     for _ in range(batch):
         pts = scene.sample_pose()
         cam = scene.cams[scene.rng.integers(len(scene.cams))]
-        proj = project_oracle(pts, cam[0], cam[1], cam[2])
-        frames.append(render_frame(proj, W, H, scene.rng).astype(np.float32) / 255.0)
+        frame, proj = scene.render_training_view(pts, cam)
+        frames.append(frame.astype(np.float32) / 255.0)
         bb = person_bbox(proj, W, H)
         c = np.array([(bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2])
         half = np.array([(bb[2] - bb[0]) / 2, (bb[3] - bb[1]) / 2])
@@ -96,7 +96,7 @@ def train_synthetic_detector(scene, steps: int = 200, batch: int = 16,
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), new["batch_stats"], opt_state, loss
 
-    from .synthetic import person_bbox, project_oracle, render_frame
+    from .synthetic import person_bbox
 
     loss = np.inf
     for _ in range(steps):
@@ -104,8 +104,8 @@ def train_synthetic_detector(scene, steps: int = 200, batch: int = 16,
         for _ in range(batch):
             pts = scene.sample_pose()
             cam = scene.cams[scene.rng.integers(len(scene.cams))]
-            proj = project_oracle(pts, cam[0], cam[1], cam[2])
-            imgs.append(render_frame(proj, W, H, scene.rng).astype(np.float32) / 255.0)
+            frame, proj = scene.render_training_view(pts, cam)
+            imgs.append(frame.astype(np.float32) / 255.0)
             boxes.append(person_bbox(proj, W, H))
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state,
@@ -115,9 +115,31 @@ def train_synthetic_detector(scene, steps: int = 200, batch: int = 16,
     return SinglePersonDetector(model, det_vars, bbox_thr=0.15), float(loss)
 
 
+def _make_tx(lr: float, steps: int, schedule: str, grad_clip: float = 1.0):
+    """Optimizer for the synthetic trainers.  ``schedule="cosine"`` wraps
+    the peak lr in linear warmup (5% of steps) + cosine decay — the fix
+    for the flagship W32's slow convergence at fixed lr (VERDICT r2 weak
+    #3: big models need the decay tail to close the final error)."""
+    import optax
+
+    if schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=lr,
+            warmup_steps=max(steps // 20, 1),
+            decay_steps=max(steps, 2), end_value=lr * 1e-2,
+        )
+    elif schedule != "constant":
+        raise ValueError(f"unknown schedule '{schedule}'")
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr, weight_decay=1e-4),
+    )
+
+
 def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
                          model_name: str = "test_small_128", lr: float = 3e-3,
-                         sigma: float = 1.5, seed: int = 0):
+                         sigma: float = 1.5, seed: int = 0,
+                         schedule: str = "cosine"):
     """Train an HRNet heatmap model on person crops; returns (model, vars)."""
     import jax
     import jax.numpy as jnp
@@ -144,7 +166,8 @@ def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
         return heatmap_mse_loss(jnp.moveaxis(outputs, -1, 1), b["targets"],
                                 b["weights"])
 
-    init_fn, step_fn = make_train_step(model, loss_fn, learning_rate=lr)
+    init_fn, step_fn = make_train_step(model, loss_fn,
+                                       tx=_make_tx(lr, steps, schedule))
     state = init_fn(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
     loss = np.inf
     for _ in range(steps):
@@ -155,7 +178,7 @@ def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
 
 def train_synthetic_simcc(scene, steps: int = 400, batch: int = 8,
                           model_name: str = "coco_rtmpose-t", lr: float = 3e-3,
-                          seed: int = 0):
+                          seed: int = 0, schedule: str = "cosine"):
     """Train an RTMPose SimCC model on person crops (BASELINE config 3's
     model family); returns (model, vars, input_size, loss)."""
     import jax
@@ -183,7 +206,8 @@ def train_synthetic_simcc(scene, steps: int = 400, batch: int = 8,
         px, py = outputs
         return simcc_kl_loss(px, py, b["lx"], b["ly"], b["w"])
 
-    init_fn, step_fn = make_train_step(model, loss_fn, learning_rate=lr)
+    init_fn, step_fn = make_train_step(model, loss_fn,
+                                       tx=_make_tx(lr, steps, schedule))
     state = init_fn(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
     loss = np.inf
     for _ in range(steps):
@@ -203,6 +227,10 @@ def run_accuracy_harness(
     pose_family: str = "heatmap",
     pose_model_name: str | None = None,
     mesh=None,
+    distortion=None,
+    hard: bool = False,
+    sgd_refine: bool = False,
+    sgd_kwargs: dict | None = None,
 ):
     """Full train→deploy accuracy measurement; returns a metrics dict:
 
@@ -218,6 +246,17 @@ def run_accuracy_harness(
 
     ``pose_family``: "heatmap" (HRNet, BASELINE config 2) or "simcc"
     (RTMPose-t, BASELINE config 3).
+
+    ``distortion``: lens model for the rig (see `synthetic.make_rig`) —
+    nonzero coefficients exercise the pipeline's iterative undistortion
+    with trained weights (the reference's utils.py:1314-1315 step).
+    ``hard``: the hard synthetic domain (clutter/occlusion/scale
+    variation/distractor person — `SyntheticSceneConfig`).
+    ``sgd_refine``: chain the full MLE SGD refinement
+    (`refine.PoseRefiner`, reference pose_refinement.py:1099-1256) onto
+    the pipeline output — trained-model Gaussians in, refined trajectory
+    out — and report ``mpjpe_3d_sgd``; body lengths come from the oracle
+    skeleton (the reference reads them from a user-measured YAML).
     """
     import jax.numpy as jnp
 
@@ -228,7 +267,8 @@ def run_accuracy_harness(
 
     if pose_family not in ("heatmap", "simcc"):
         raise ValueError(f"unknown pose_family '{pose_family}'")
-    scene = SyntheticSceneConfig(n_cams=n_cams, seed=seed)
+    scene = SyntheticSceneConfig(n_cams=n_cams, seed=seed,
+                                 distortion=distortion, hard=hard)
     detector, det_loss = train_synthetic_detector(scene, steps=det_steps)
     if pose_family == "heatmap":
         model, variables, input_size, pose_loss = train_synthetic_pose(
@@ -275,6 +315,36 @@ def run_accuracy_harness(
     refined = np.asarray(linear_interpolation(kpts_3d))
     err3d_ref = np.linalg.norm(refined - traj, axis=-1)
 
+    err3d_sgd = None
+    if sgd_refine:
+        # Full-workflow chain (reference pose_refinement.py:1099-1256):
+        # trained-model Gaussians + interpolated trajectory → MLE Adam.
+        from ..refine.optimizer import PoseRefiner
+        from ..utils.skeleton import get_body_part_lengths
+
+        # Oracle-skeleton body lengths (reference: user-measured YAML,
+        # examples/body_part_lengths.yaml) — mean over the clip.
+        bl = {
+            name: float(np.mean(v))
+            for name, v in get_body_part_lengths(
+                jnp.asarray(traj, jnp.float32)
+            ).items()
+        }
+        cam_params = {i: list(c) for i, c in enumerate(scene.cams)}
+        refiner = PoseRefiner(
+            np.asarray(out["heatmaps_2d"]), refined, cam_params,
+            body_lengths=bl,
+        )
+        defaults = dict(lr=0.01, max_iter=3000, patience=200,
+                        lambda_smooth=0.2, lambda_body_length=0.5,
+                        batch_size=min(100, n_frames), tolerance=0.0)
+        defaults.update(sgd_kwargs or {})
+        res = refiner.sgd_optimize(**defaults)
+        err3d_sgd = np.linalg.norm(
+            np.asarray(res.trajectory) - traj[: np.asarray(res.trajectory).shape[0]],
+            axis=-1,
+        )
+
     # Detector tightness on the validation frames.
     flat = frames.reshape(-1, scene.height, scene.width, 3)
     boxes = np.asarray(detector.detect(flat))
@@ -306,7 +376,13 @@ def run_accuracy_harness(
         "pose_family": pose_family,
         "n_frames": n_frames,
         "n_cams": n_cams,
+        "hard": bool(hard),
+        "distortion": bool(distortion is not None and np.any(
+            np.asarray([c[3] for c in scene.cams]))),
     }
+    if err3d_sgd is not None:
+        metrics["mpjpe_3d_sgd"] = float(np.nanmean(err3d_sgd))
+        metrics["mpjpe_3d_sgd_median"] = float(np.nanmedian(err3d_sgd))
     if pose_family == "heatmap":
         metrics["px_err_flip_shift"] = px_err(True)
         metrics["px_err_flip_noshift"] = px_err(False)

@@ -92,14 +92,36 @@ def coco17_pose(t: float, origin=(0.0, 0.0, 300.0), scale: float = 1.0):
     return p * scale + np.asarray(origin)
 
 
+# A realistic webcam-lens distortion profile (pronounced barrel + slight
+# tangential, the wide-FOV-webcam regime): the default whenever a
+# synthetic rig asks for distortion.  Strong enough that the working
+# volume sees multi-pixel displacement (so skipping undistortion would
+# visibly hurt), still comfortably within the fixed-point inverse's
+# convergence region.
+DEFAULT_DISTORTION = np.array([-0.35, 0.08, 2e-3, -1.2e-3, 1.2e-2])
+
+
 def make_rig(n_cams: int = 2, width: int = 256, height: int = 256,
              focal: float = 300.0, spread_deg: float = 50.0,
-             baseline: float = 260.0):
+             baseline: float = 260.0, distortion=None):
     """Calibrated ring of cameras aimed at the working volume.
 
     Returns a list of [K, R, T, dist] (the `io.stack_camera_params` input
-    layout).  Zero distortion — the oracle projector stays closed-form.
+    layout).  ``distortion``: None → zero coefficients (closed-form
+    pinhole oracle); True → `DEFAULT_DISTORTION` on every camera; or a
+    (5,) / (n_cams, 5) array of OpenCV-ordered [k1, k2, p1, p2, k3]
+    coefficients.  With nonzero coefficients `project_oracle` applies the
+    full forward model in float64, so the rendered pixels and the labels
+    exercise the same lens the real reference pipeline undistorts
+    (reference utils.py:1314-1315).
     """
+    if distortion is None:
+        dists = np.zeros((n_cams, 5))
+    elif distortion is True:
+        dists = np.tile(DEFAULT_DISTORTION, (n_cams, 1))
+    else:
+        d = np.asarray(distortion, np.float64)
+        dists = np.tile(d, (n_cams, 1)) if d.ndim == 1 else d
     cams = []
     for c in range(n_cams):
         K = np.array([[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1.0]])
@@ -109,36 +131,111 @@ def make_rig(n_cams: int = 2, width: int = 256, height: int = 256,
                       [-np.sin(th), 0, np.cos(th)]])
         pos = np.array([-baseline / 2 + baseline * frac, 0.0, -20.0])
         T = -R @ pos
-        cams.append([K, R, T, np.zeros(5)])
+        cams.append([K, R, T, dists[c].copy()])
     return cams
 
 
 def project_oracle(pts3d: np.ndarray, K, R, T, dist=None) -> np.ndarray:
-    """Float64 pinhole projection (..., 3) → (..., 2); no distortion."""
+    """Float64 projection (..., 3) → (..., 2) with the OpenCV 5-coefficient
+    distortion model (k1, k2, p1, p2, k3) — the numpy mirror of
+    `ops/geometry.py::project_points`, kept independent so the oracle
+    never shares code with the implementation under test."""
     shape = pts3d.shape[:-1]
     cam = pts3d.reshape(-1, 3) @ np.asarray(R).T + np.asarray(T).reshape(3)
-    xy = cam[:, :2] / cam[:, 2:3]
-    u = K[0, 0] * xy[:, 0] + K[0, 2]
-    v = K[1, 1] * xy[:, 1] + K[1, 2]
+    x = cam[:, 0] / cam[:, 2]
+    y = cam[:, 1] / cam[:, 2]
+    if dist is not None and np.any(np.asarray(dist)):
+        k1, k2, p1, p2, k3 = np.asarray(dist, np.float64).reshape(5)
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2 + k3 * r2 * r2 * r2
+        x_d = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        y_d = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        x, y = x_d, y_d
+    u = K[0, 0] * x + K[0, 2]
+    v = K[1, 1] * y + K[1, 2]
     return np.stack([u, v], -1).reshape(*shape, 2)
+
+
+def _draw_person(frame: np.ndarray, proj2d: np.ndarray, radius: int = 3,
+                 limb_color=(120, 120, 120)) -> None:
+    import cv2
+
+    pts = np.round(proj2d).astype(int)
+    for a, b in _LIMBS:
+        cv2.line(frame, tuple(pts[a]), tuple(pts[b]), limb_color, 1)
+    for j in range(17):
+        color = _TYPE_COLORS[_JOINT_TYPES[j]]
+        cv2.circle(frame, tuple(pts[j]), radius, color, -1)
+
+
+def _hard_background(width: int, height: int,
+                     rng: np.random.Generator) -> np.ndarray:
+    """Cluttered textured background: blurred colour field + random
+    shapes/lines whose palette overlaps the joint colours (hard negatives
+    for both the detector and the pose model)."""
+    import cv2
+
+    bg = rng.integers(0, 160, (height // 8, width // 8, 3)).astype(np.uint8)
+    bg = cv2.resize(bg, (width, height), interpolation=cv2.INTER_LINEAR)
+    palette = list(_TYPE_COLORS.values()) + [(200, 200, 200), (30, 30, 30)]
+    for _ in range(int(rng.integers(6, 14))):
+        color = palette[int(rng.integers(len(palette)))]
+        kind = int(rng.integers(3))
+        p0 = (int(rng.integers(width)), int(rng.integers(height)))
+        if kind == 0:
+            cv2.circle(bg, p0, int(rng.integers(2, 12)), color, -1)
+        elif kind == 1:
+            p1 = (int(rng.integers(width)), int(rng.integers(height)))
+            cv2.line(bg, p0, p1, color, int(rng.integers(1, 3)))
+        else:
+            p1 = (p0[0] + int(rng.integers(4, 30)), p0[1] + int(rng.integers(4, 30)))
+            cv2.rectangle(bg, p0, p1, color, -1)
+    noise = rng.integers(0, 25, (height, width, 3)).astype(np.uint8)
+    return cv2.add(bg, noise)
+
+
+def _draw_occluder(frame: np.ndarray, proj2d: np.ndarray,
+                   rng: np.random.Generator) -> None:
+    """A random opaque rectangle/ellipse overlapping the person."""
+    import cv2
+
+    j = int(rng.integers(17))
+    cx, cy = float(proj2d[j, 0]), float(proj2d[j, 1])
+    w = float(rng.uniform(6, 22))
+    h = float(rng.uniform(6, 22))
+    color = tuple(int(v) for v in rng.integers(0, 255, 3))
+    if rng.uniform() < 0.5:
+        cv2.rectangle(frame, (int(cx - w / 2), int(cy - h / 2)),
+                      (int(cx + w / 2), int(cy + h / 2)), color, -1)
+    else:
+        cv2.ellipse(frame, (int(cx), int(cy)), (int(w / 2) + 1, int(h / 2) + 1),
+                    float(rng.uniform(0, 180)), 0, 360, color, -1)
 
 
 def render_frame(proj2d: np.ndarray, width: int, height: int,
                  rng: np.random.Generator, noise: int = 45,
-                 radius: int = 3) -> np.ndarray:
+                 radius: int = 3, hard: bool = False,
+                 distractor2d: np.ndarray | None = None,
+                 n_occluders: int = 0) -> np.ndarray:
     """Render one camera view of the person; uint8 (H, W, 3).
 
-    Dark noise background, grey limb segments, joint-type-coloured disks.
+    Easy mode (default): dark noise background, grey limb segments,
+    joint-type-coloured disks.  ``hard=True`` switches to the cluttered
+    textured background (VERDICT r2 weak #4); ``distractor2d`` renders a
+    second unlabeled person (exercises the detector's top-1 selection,
+    reference mmpose_pose_estimation.py:242-248); ``n_occluders`` draws
+    that many opaque shapes OVER the main person.
     """
-    import cv2
-
-    frame = rng.integers(0, noise, (height, width, 3)).astype(np.uint8)
-    pts = np.round(proj2d).astype(int)
-    for a, b in _LIMBS:
-        cv2.line(frame, tuple(pts[a]), tuple(pts[b]), (120, 120, 120), 1)
-    for j in range(17):
-        color = _TYPE_COLORS[_JOINT_TYPES[j]]
-        cv2.circle(frame, tuple(pts[j]), radius, color, -1)
+    if hard:
+        frame = _hard_background(width, height, rng)
+    else:
+        frame = rng.integers(0, noise, (height, width, 3)).astype(np.uint8)
+    if distractor2d is not None:
+        _draw_person(frame, distractor2d, radius=max(radius - 1, 1),
+                     limb_color=(100, 100, 100))
+    _draw_person(frame, proj2d, radius=radius)
+    for _ in range(n_occluders):
+        _draw_occluder(frame, proj2d, rng)
     return frame
 
 
@@ -153,31 +250,74 @@ def person_bbox(proj2d: np.ndarray, width: int, height: int,
 
 
 class SyntheticSceneConfig:
-    """Scene sampler: moving person + rig; yields frames/labels on demand."""
+    """Scene sampler: moving person + rig; yields frames/labels on demand.
+
+    ``distortion``: see `make_rig` — nonzero coefficients put real lens
+    curvature into both the rendered pixels and the labels, so the
+    deployed pipeline's iterative undistortion (`ops/undistort.py`, the
+    reference's utils.py:1314-1315 step) does real work in the accuracy
+    harness.
+
+    ``hard=True`` is the hard domain (VERDICT r2 weak #4): cluttered
+    textured backgrounds, per-sample person-scale variation
+    (``scale_range``), random opaque occluders over the person
+    (``occluder_prob``), and a second unlabeled distractor person
+    (``distractor_prob``, rendered smaller/behind) that the detector's
+    top-1 selection must reject.
+    """
 
     def __init__(self, n_cams: int = 2, width: int = 256, height: int = 256,
-                 seed: int = 0, scale: float = 0.8):
+                 seed: int = 0, scale: float = 0.8, distortion=None,
+                 hard: bool = False, scale_range: tuple = (0.55, 1.05),
+                 occluder_prob: float = 0.5, distractor_prob: float = 0.5):
         self.width, self.height = width, height
-        self.cams = make_rig(n_cams, width, height)
+        self.cams = make_rig(n_cams, width, height, distortion=distortion)
         self.rng = np.random.default_rng(seed)
         self.scale = scale
+        self.hard = bool(hard)
+        self.scale_range = tuple(scale_range)
+        self.occluder_prob = float(occluder_prob)
+        self.distractor_prob = float(distractor_prob)
 
     def trajectory(self, n_frames: int):
         """(T, 17, 3) world trajectory: walk cycle + lateral drift."""
         traj = np.zeros((n_frames, 17, 3))
+        scale = (self.rng.uniform(*self.scale_range) if self.hard else self.scale)
         for i in range(n_frames):
             t = 2.0 * np.pi * i / max(n_frames / 3, 1)
             ox = 60.0 * np.sin(2 * np.pi * i / max(n_frames, 1))
             oz = 320.0 + 40.0 * np.sin(2 * np.pi * i / max(n_frames * 2, 1))
-            traj[i] = coco17_pose(t, origin=(ox, 10.0, oz), scale=self.scale)
+            traj[i] = coco17_pose(t, origin=(ox, 10.0, oz), scale=scale)
         return traj
+
+    def _sample_distractor(self):
+        """A smaller, farther person (unlabeled)."""
+        t = self.rng.uniform(0, 2 * np.pi)
+        ox = self.rng.uniform(-90, 90)
+        oz = self.rng.uniform(420, 520)  # behind the main person
+        s = self.scale * self.rng.uniform(0.45, 0.65)
+        return coco17_pose(t, origin=(ox, 5.0, oz), scale=s)
+
+    def _render_one(self, proj, K, R, T, dist, distractor3d):
+        d2d = None
+        if distractor3d is not None:
+            d2d = project_oracle(distractor3d, K, R, T, dist)
+        n_occ = (int(self.rng.uniform() < self.occluder_prob)
+                 + int(self.rng.uniform() < self.occluder_prob * 0.4)
+                 if self.hard else 0)
+        return render_frame(proj, self.width, self.height, self.rng,
+                            hard=self.hard, distractor2d=d2d,
+                            n_occluders=n_occ)
 
     def render_views(self, pts3d: np.ndarray):
         """One timestep → (frames (C,H,W,3) uint8, proj (C,17,2), boxes (C,4))."""
+        distractor3d = None
+        if self.hard and self.rng.uniform() < self.distractor_prob:
+            distractor3d = self._sample_distractor()
         frames, projs, boxes = [], [], []
-        for K, R, T, _ in self.cams:
-            proj = project_oracle(pts3d, K, R, T)
-            frames.append(render_frame(proj, self.width, self.height, self.rng))
+        for K, R, T, dist in self.cams:
+            proj = project_oracle(pts3d, K, R, T, dist)
+            frames.append(self._render_one(proj, K, R, T, dist, distractor3d))
             projs.append(proj)
             boxes.append(person_bbox(proj, self.width, self.height))
         return np.stack(frames), np.stack(projs), np.stack(boxes)
@@ -188,7 +328,20 @@ class SyntheticSceneConfig:
         ox = self.rng.uniform(-70, 70)
         oy = self.rng.uniform(-10, 25)
         oz = self.rng.uniform(270, 380)
-        return coco17_pose(t, origin=(ox, oy, oz), scale=self.scale)
+        scale = (self.rng.uniform(*self.scale_range) if self.hard else self.scale)
+        return coco17_pose(t, origin=(ox, oy, oz), scale=scale)
+
+    def render_training_view(self, pts3d: np.ndarray, cam):
+        """One training image of ``pts3d`` through ``cam`` with the scene's
+        domain settings (hard clutter/occluders/distractor when enabled).
+        Returns (frame uint8, proj (17,2))."""
+        K, R, T, dist = cam
+        proj = project_oracle(pts3d, K, R, T, dist)
+        distractor3d = None
+        if self.hard and self.rng.uniform() < self.distractor_prob:
+            distractor3d = self._sample_distractor()
+        frame = self._render_one(proj, K, R, T, dist, distractor3d)
+        return frame, proj
 
 
 def make_scaled_scene(width: int, height: int, seed: int = 0,

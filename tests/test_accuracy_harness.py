@@ -99,6 +99,74 @@ def test_accuracy_harness_smoke():
     assert 0.0 <= m["det_tight_frac"] <= 1.0
 
 
+def test_distorted_oracle_roundtrip():
+    """The float64 oracle's distortion forward model must be inverted by
+    the pipeline's iterative undistortion to well below a pixel — the
+    contract that makes the distorted-rig harness meaningful."""
+    import jax.numpy as jnp
+
+    from multi_camera_3d_pose_estimation_tpu.ops.undistort import undistort_points
+    from multi_camera_3d_pose_estimation_tpu.training.synthetic import (
+        make_rig,
+        project_oracle,
+    )
+
+    cams = make_rig(n_cams=2, distortion=True)
+    rng = np.random.default_rng(3)
+    pts3d = rng.uniform([-60, -70, 260], [60, 40, 380], (50, 3))
+    for K, R, T, dist in cams:
+        assert np.any(dist), "make_rig(distortion=True) must set coefficients"
+        proj_d = project_oracle(pts3d, K, R, T, dist)
+        proj_p = project_oracle(pts3d, K, R, T, None)
+        # The lens must actually bend: distorted != pinhole.
+        assert np.abs(proj_d - proj_p).max() > 1.0
+        undone = np.asarray(
+            undistort_points(jnp.asarray(proj_d, jnp.float32), K, dist, P=K)
+        )
+        err = np.linalg.norm(undone - proj_p, axis=-1)
+        assert err.max() < 0.05, err.max()
+
+
+def test_hard_domain_renders():
+    """Hard-mode scenes produce clutter/occluders/distractors without
+    breaking shapes or labels."""
+    from multi_camera_3d_pose_estimation_tpu.training.synthetic import (
+        SyntheticSceneConfig,
+    )
+
+    scene = SyntheticSceneConfig(n_cams=2, seed=5, hard=True,
+                                 occluder_prob=1.0, distractor_prob=1.0)
+    traj = scene.trajectory(3)
+    frames, projs, boxes = scene.render_views(traj[0])
+    assert frames.shape == (2, 256, 256, 3)
+    assert projs.shape == (2, 17, 2)
+    # Hard backgrounds are bright/cluttered vs the easy dark-noise floor.
+    easy = SyntheticSceneConfig(n_cams=2, seed=5)
+    f_easy, _, _ = easy.render_views(easy.trajectory(3)[0])
+    assert frames.mean() > f_easy.mean() + 10
+    # Training-view sampler honours the domain too.
+    fr, proj = scene.render_training_view(scene.sample_pose(), scene.cams[0])
+    assert fr.shape == (256, 256, 3) and proj.shape == (17, 2)
+    # Scale variation: sampled poses differ in extent.
+    exts = [np.ptp(scene.sample_pose()[:, 1]) for _ in range(6)]
+    assert np.ptp(exts) > 5.0, exts
+
+
+def test_accuracy_harness_distortion_sgd_smoke():
+    """Tiny-budget harness through the NEW paths: distorted rig, hard
+    domain, SGD refinement chained — structure/finiteness only."""
+    from multi_camera_3d_pose_estimation_tpu.training import run_accuracy_harness
+
+    m = run_accuracy_harness(
+        n_frames=4, det_steps=10, pose_steps=10, distortion=True, hard=True,
+        sgd_refine=True,
+        sgd_kwargs=dict(max_iter=25, patience=30, batch_size=4),
+    )
+    assert m["distortion"] is True and m["hard"] is True
+    for key in ("mpjpe_3d", "mpjpe_3d_sgd", "mpjpe_3d_refined"):
+        assert key in m and np.isfinite(m[key]), (key, m)
+
+
 def test_accuracy_harness_simcc_smoke():
     """SimCC family (RTMPose-t, BASELINE config 3) through the same
     train→deploy harness; flip-shift keys are heatmap-only by design."""

@@ -167,6 +167,55 @@ def test_audio_sync_end_to_end_with_sidecar_wavs(tmp_path):
     assert abs(int(frames[0][1][..., 2].mean()) - 60) < 12
 
 
+def write_audio_bearing_video(tmp_path, name, n_frames, fps, peak_at,
+                              sr=16000):
+    """An actual audio-IN-container fixture: cv2 video + pcm_s16le track
+    muxed by the native runtime (container PCM needs no encoder)."""
+    from multi_camera_3d_pose_estimation_tpu.native import remux_with_audio
+
+    silent = write_test_video(tmp_path / f"_{name}_noaudio.mp4",
+                              n_frames=n_frames, fps=fps)
+    seconds = n_frames / fps
+    t = np.arange(int(sr * seconds)) / sr
+    y = 0.05 * np.sin(2 * np.pi * 330 * t)
+    y[int(peak_at * sr)] = 0.9  # the clap
+    out = str(tmp_path / f"{name}.mov")
+    remux_with_audio(silent, out, y, sr)
+    return out
+
+
+def test_audio_sync_end_to_end_in_container(tmp_path):
+    """The reference's actual workflow (synchronize_videos.py:203): audio
+    lives INSIDE the recorded .movs.  Round-2 PARITY listed in-container
+    audio as a known coverage gap — this closes it."""
+    fps = 15.0
+    # Camera 1's clap is 6 frames (0.4 s) later than camera 0's.
+    v0 = write_audio_bearing_video(tmp_path, "cam0", n_frames=60, fps=fps,
+                                   peak_at=1.0)
+    v1 = write_audio_bearing_video(tmp_path, "cam1", n_frames=60, fps=fps,
+                                   peak_at=1.4)
+
+    from multi_camera_3d_pose_estimation_tpu.sync import (
+        compute_sync_frame_indices,
+    )
+
+    indices, fps_list = compute_sync_frame_indices([v0, v1])
+    assert indices == [15, 21], indices
+    assert all(abs(f - fps) < 0.5 for f in fps_list)
+
+    frames, out_paths = synchronize_videos([v0, v1], save_as_files=True)
+    # Offset preserved: frame i of the synced pair comes from source
+    # frames (15+i, 21+i); the red channel encodes the source index.
+    assert len(frames) > 10
+    for i in (0, 5, 9):
+        r0 = int(frames[i][0][:, :, 2].mean())
+        r1 = int(frames[i][1][:, :, 2].mean())
+        assert abs(r0 - 10 * (15 + i) % 250) < 12
+        assert abs(r1 - 10 * (21 + i) % 250) < 12
+    for p in out_paths:
+        assert os.path.exists(p)
+
+
 def test_load_image_frames_sequence(tmp_path):
     from multi_camera_3d_pose_estimation_tpu.io.frames import load_frames
 
