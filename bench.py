@@ -218,7 +218,6 @@ def bench_stream():
         paths.append(p)
 
     pipe = _build_pipeline(HRNET_W32, (192, 256), (block, C, H, W, 3))
-    pipe.donate_frames = True
     # Warmup pass: compiles the full-block program (and the tail-block
     # shape is padded to `block`, so one shape covers every block).
     run_pipeline_on_videos(pipe, paths, block_size=block, progress=False)

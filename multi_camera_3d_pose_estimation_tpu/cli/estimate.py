@@ -166,11 +166,9 @@ def estimate_pose_from_video(
     detector = build_detector(
         detector_model, checkpoint=detector_checkpoint, bbox_thr=detector_bbox_thr
     )
-    # donate_frames: each streamed block is a fresh buffer, so its HBM is
-    # safely recycled into the program's intermediates.
     pipeline = ShardedPosePipeline(
         estimator, cam_stack, mesh=mesh, conf_threshold=conf_threshold,
-        detector=detector, donate_frames=True,
+        detector=detector,
     )
     kpts_2d, heatmaps, kpts_3d = run_pipeline_on_videos(
         pipeline, recording_paths, block_size=block_size

@@ -86,6 +86,9 @@ def crop_frames(
     sy = out_h / size[:, 1]
 
     def one(img, sx, sy, x0, y0):
+        # scale/translation stay f32: the resample WEIGHTS are computed
+        # from them (bf16 here would shift crop placement by ~1 px);
+        # only the pixel data follows img.dtype.
         return jax.image.scale_and_translate(
             img,
             (out_h, out_w, img.shape[-1]),
@@ -194,11 +197,20 @@ def preprocess_crops(frames, bboxes, input_size, bbox_padding: float = 1.25):
     ``(crops (B, in_h, in_w, 3), scale (B, 2), offset (B, 2))`` with
     ``crop_xy = (img_xy - offset) * scale`` mapping image points (e.g.
     keypoint labels) into crop pixels for target rendering.
+
+    The resample + normalization run in ``frames.dtype`` (the caller's
+    compute dtype): the block pipeline feeds bfloat16 — pixel values in
+    [0, 1] lose <0.4% to the 8-bit mantissa, irrelevant next to the bf16
+    model, while halving the resample/normalize HBM traffic (PROFILE.md
+    measured the f32 chain at ~7% of device time); scale/offset stay in
+    the frames dtype's f32 promotion for the geometry pushforward.
     """
     in_w, in_h = input_size
     center, size = center_scale_from_bbox(bboxes, in_w / in_h, bbox_padding)
     crops, scale, offset = crop_frames(frames, center, size, (in_h, in_w))
-    crops = (crops - IMAGENET_MEAN) / IMAGENET_STD
+    crops = (crops - jnp.asarray(IMAGENET_MEAN, crops.dtype)) / jnp.asarray(
+        IMAGENET_STD, crops.dtype
+    )
     return crops, scale, offset
 
 

@@ -54,17 +54,16 @@ class ShardedPosePipeline:
         self.estimator = estimator
         self.mesh = mesh
         self.conf_threshold = float(conf_threshold)
-        # ``donate_frames``: donate the frames buffer to the jitted program
-        # so XLA reuses its HBM for intermediates/outputs — right for
-        # streaming callers that feed a FRESH block every call
-        # (cli/estimate.py's video loop); wrong for callers that reuse one
-        # device array across calls (bench.py's chained timing).
-        # Donation only ever applies to float32 blocks: XLA aliases donated
-        # buffers by byte layout, and a uint8 block can't back any f32
-        # intermediate — donating one is a guaranteed no-op that just
-        # prints "Some donated buffers were not usable".  `run` therefore
-        # routes uint8 input (the streaming CLI's wire format — 4× less
-        # H2D than pre-cast f32) through the non-donating executable.
+        # ``donate_frames``: accepted for API compatibility but a NO-OP.
+        # History (honest accounting): round 2 donated the block so XLA
+        # could recycle its HBM for intermediates, but XLA aliases donated
+        # buffers by dtype/layout and the pixel path casts immediately —
+        # uint8 blocks (the streaming wire format, 4× less H2D than f32)
+        # could never alias, and since the pixel path went bfloat16
+        # (PROFILE.md round 3) neither can float32 blocks.  Requesting
+        # donation only produced a "Some donated buffers were not usable"
+        # warning on every call; HBM headroom is not a constraint at these
+        # block sizes, so the request is simply not made.
         self.donate_frames = bool(donate_frames)
         self.cam_stack = {k: jnp.asarray(v, jnp.float32) for k, v in cam_stack.items()}
         # Optional person detector (models.SinglePersonDetector): its
@@ -132,10 +131,7 @@ class ShardedPosePipeline:
         frames = jnp.asarray(frames)
         T, C, H, W = frames.shape[:4]
         use_detector = bboxes is None and self._has_detector
-        # Donation is requested only when it can actually alias: a float32
-        # block matches the program's intermediate dtype; uint8 never does
-        # (see __init__) and donating it would warn-and-drop every call.
-        donate = self.donate_frames and frames.dtype == jnp.float32
+        donate = False  # see __init__: donation can never alias here
         if bboxes is None:
             bboxes = jnp.tile(
                 jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1)
@@ -151,7 +147,16 @@ def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
                  variables, det_variables, frames, bboxes, cam):
     T, C, H, W, _ = frames.shape
     if frames.dtype == jnp.uint8:
-        frames = frames.astype(jnp.float32) / 255.0
+        # bf16 is the block pipeline's compute dtype for the whole
+        # pixel path (cast, crop resample, ImageNet normalize): pixel
+        # values in [0,1] lose <0.4% to the 8-bit mantissa — noise next
+        # to the bf16 model — and the f32 chain it replaces measured
+        # ~7% of device time (PROFILE.md: resample + broadcast_add +
+        # stem input traffic).  Geometry (boxes, decode, triangulation)
+        # stays f32.
+        frames = frames.astype(jnp.bfloat16) / 255.0
+    elif frames.dtype == jnp.float32:
+        frames = frames.astype(jnp.bfloat16)
     flat = frames.reshape(T * C, H, W, 3)
     flat_boxes = bboxes.reshape(T * C, 4)
     if det_model is not None:

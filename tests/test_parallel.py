@@ -64,8 +64,11 @@ def test_sharded_pipeline_matches_single_device(small_pipeline_parts):
 
 
 def test_donated_frames_pipeline_matches(small_pipeline_parts):
-    """donate_frames recycles the block's HBM (cli/estimate streaming);
-    results must be identical to the non-donated program on fresh blocks."""
+    """donate_frames is an accepted no-op (no dtype can alias the bf16
+    pixel path — ShardedPosePipeline.__init__): results identical to the
+    plain pipeline AND no 'donated buffers were not usable' warning."""
+    import warnings
+
     est, cam_stack = small_pipeline_parts
     rng = np.random.default_rng(1)
     frames = rng.uniform(size=(4, 2, 120, 160, 3)).astype(np.float32)
@@ -73,9 +76,10 @@ def test_donated_frames_pipeline_matches(small_pipeline_parts):
     plain = ShardedPosePipeline(est, cam_stack)
     donated = ShardedPosePipeline(est, cam_stack, donate_frames=True)
     out_p = plain.run(frames)
-    # fresh host array each call — the donated buffer is never reused
-    out_d1 = donated.run(frames.copy())
-    out_d2 = donated.run(frames.copy())
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any donation warning -> failure
+        out_d1 = donated.run(frames.copy())
+        out_d2 = donated.run(frames.copy())
     for key in ("kpts_2d", "heatmaps_2d", "kpts_3d"):
         np.testing.assert_allclose(
             np.asarray(out_p[key]), np.asarray(out_d1[key]),
