@@ -72,31 +72,6 @@ def compile_once(run_block, base):
     return compiled, ca
 
 
-def parse_xplane(trace_dir: str):
-    """Aggregate per-op durations from the TPU xplane trace.
-
-    Returns {plane_name: {event_name: total_ps}}.
-    """
-    from tensorflow.core.profiler.protobuf import xplane_pb2
-
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
-    if not paths:
-        raise FileNotFoundError(f"no xplane.pb under {trace_dir}")
-    out = {}
-    for path in paths:
-        xspace = xplane_pb2.XSpace()
-        with open(path, "rb") as f:
-            xspace.ParseFromString(f.read())
-        for plane in xspace.planes:
-            agg = out.setdefault(plane.name, defaultdict(float))
-            meta = {m.id: m.name for m in plane.event_metadata.values()}
-            for line in plane.lines:
-                for ev in line.events:
-                    name = meta.get(ev.metadata_id, str(ev.metadata_id))
-                    agg[name] += ev.duration_ps
-    return out
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -134,38 +109,9 @@ def main():
         acc = jitted(base, acc)
     float(acc)
     jax.profiler.stop_trace()
-
-    try:
-        planes = parse_xplane(trace_dir)
-    except Exception as e:  # tunneled backends may not export device planes
-        print(f"xplane parse failed: {e}")
-        return
-
-    lines = []
-    lines.append("# PROFILE — headline program, real TPU chip\n")
-    lines.append(f"Measured this round: **{fps:.1f} fps** steady-state "
-                 f"(value-forced), XLA cost analysis **{flops / (T * n_inner) / 2:.3e} "
-                 f"flops/crop** -> **{tflops:.1f} TFLOP/s = "
-                 f"{100 * tflops / 197:.1f}% MFU** (197 TFLOP/s v5e bf16 peak, "
-                 f"mul-add = 2 flops both sides).\n")
-    for plane_name, agg in sorted(planes.items()):
-        total = sum(agg.values())
-        if total <= 0 or "TPU" not in plane_name and "tpu" not in plane_name.lower():
-            continue
-        lines.append(f"\n## {plane_name} (total {total / 1e9:.3f} ms)\n")
-        lines.append("| op | ms | % |")
-        lines.append("|---|---|---|")
-        for name, ps in sorted(agg.items(), key=lambda kv: -kv[1])[:40]:
-            lines.append(f"| `{name[:90]}` | {ps / 1e9:.3f} | {100 * ps / total:.1f} |")
-    md = "\n".join(lines) + "\n"
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "PROFILE.md"), "w") as f:
-        f.write(md)
-    print("wrote PROFILE.md")
-    # Also dump every plane name for debugging trace coverage.
-    for plane_name, agg in planes.items():
-        print(f"plane: {plane_name!r}, events: {len(agg)}, "
-              f"total ms: {sum(agg.values()) / 1e9:.3f}")
+    print(f"device trace written to {trace_dir} — run "
+          f"examples/analyze_profile.py to join it with the compiled HLO "
+          f"into PROFILE.md")
 
 
 if __name__ == "__main__":
