@@ -229,7 +229,7 @@ class HRNet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, fused_stage1=None):
         cfg = self.cfg or HRNET_W32
         widths = cfg["widths"]
         modules = cfg["modules"]
@@ -247,8 +247,20 @@ class HRNet(nn.Module):
         x = ConvBN(cfg["stem"], 3, 2, dtype=dt)(x, train)
 
         # Stage 1: bottlenecks at full (1/4) resolution.
-        for _ in range(4):
-            x = Bottleneck(64, dtype=dt)(x, train)
+        if fused_stage1 is not None and not train:
+            # Inference replacement (ops.pallas.bottleneck): the flax
+            # modules still run on a tiny dummy slab so the parameter
+            # tree is IDENTICAL (checkpoints/converters unaffected); XLA
+            # dead-code-eliminates the unused dummy compute.  ``fn`` is
+            # built from this model's variables by
+            # `make_fused_stage1(variables)`.
+            d = x[:1, :8, :8, :]
+            for _ in range(4):
+                d = Bottleneck(64, dtype=dt)(d, train)
+            x = fused_stage1(x)
+        else:
+            for _ in range(4):
+                x = Bottleneck(64, dtype=dt)(x, train)
 
         # Transition 1: split into 2 branches.
         xs = [

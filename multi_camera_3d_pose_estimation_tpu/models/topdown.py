@@ -130,6 +130,7 @@ class TopDownEstimator:
         flip_shift: bool = True,
         decode_mode: str = "default",
         connectivity_type: str = "coco",
+        use_pallas_stage1: bool = False,
     ):
         if decode not in ("heatmap", "simcc"):
             raise ValueError(f"unknown decode '{decode}'")
@@ -166,10 +167,20 @@ class TopDownEstimator:
                 )
         else:
             self._flip_perm = None
+        # Opt-in Pallas stage-1 Bottleneck fusion (HRNet heatmap family
+        # only): fold this estimator's BN stats once and close over the
+        # folded weights — they become constants of the jitted program
+        # (ops/pallas/bottleneck.py documents the HBM-traffic rationale).
+        self._fused_stage1 = None
+        if use_pallas_stage1 and decode == "heatmap":
+            from ..ops.pallas.bottleneck import make_fused_stage1
+
+            self._fused_stage1 = make_fused_stage1(self.variables)
         self._predict = jax.jit(partial(_predict, model, self.input_size, decode,
                                         self.heatmap_threshold, self.bbox_padding,
                                         self.use_fused_decode, self._flip_perm,
-                                        self.decode_mode, self.flip_shift))
+                                        self.decode_mode, self.flip_shift,
+                                        self._fused_stage1))
 
     def predict_batch(self, frames, bboxes=None):
         """frames (B,H,W,3) uint8/float, bboxes (B,4) or None (full frame).
@@ -216,17 +227,18 @@ def preprocess_crops(frames, bboxes, input_size, bbox_padding: float = 1.25):
 
 def _predict(model, input_size, decode, hm_threshold, bbox_padding,
              use_fused_decode, flip_perm, decode_mode, flip_shift,
-             variables, frames, bboxes):
+             fused_stage1, variables, frames, bboxes):
     in_w, in_h = input_size
     crops, scale, offset = preprocess_crops(frames, bboxes, input_size, bbox_padding)
 
     if decode == "heatmap":
-        heat = model.apply(variables, crops)  # (B, h/4, w/4, K)
+        kw = {"fused_stage1": fused_stage1} if fused_stage1 is not None else {}
+        heat = model.apply(variables, crops, **kw)  # (B, h/4, w/4, K)
         heat = jnp.moveaxis(heat, -1, 1)  # (B, K, h/4, w/4)
         if flip_perm is not None:
             # Flip-test TTA (MMPose convention): forward the mirrored crop,
             # mirror the heatmaps back, swap left/right joints, average.
-            heat_f = model.apply(variables, crops[:, :, ::-1])
+            heat_f = model.apply(variables, crops[:, :, ::-1], **kw)
             heat_f = jnp.moveaxis(heat_f, -1, 1)[:, :, :, ::-1]
             heat_f = heat_f[:, jnp.asarray(flip_perm)]
             if flip_shift:

@@ -88,6 +88,7 @@ class ShardedPosePipeline:
                 getattr(estimator, "_flip_perm", None),
                 getattr(estimator, "decode_mode", "default"),
                 getattr(estimator, "flip_shift", True),
+                getattr(estimator, "_fused_stage1", None),
                 self.conf_threshold,
                 det_model if fn_use_det else None,
                 det_thr,
@@ -143,8 +144,8 @@ class ShardedPosePipeline:
 
 
 def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
-                 decode_mode, flip_shift, conf_thr, det_model, det_thr,
-                 variables, det_variables, frames, bboxes, cam):
+                 decode_mode, flip_shift, fused_stage1, conf_thr, det_model,
+                 det_thr, variables, det_variables, frames, bboxes, cam):
     T, C, H, W, _ = frames.shape
     if frames.dtype == jnp.uint8:
         # bf16 is the block pipeline's compute dtype for the whole
@@ -174,7 +175,8 @@ def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
         keep = (det_score > det_thr)[:, None]
         flat_boxes = jnp.where(keep, det_boxes, flat_boxes)
     out = _predict(model, input_size, decode, hm_thr, pad, use_fused,
-                   flip_perm, decode_mode, flip_shift, variables, flat, flat_boxes)
+                   flip_perm, decode_mode, flip_shift, fused_stage1,
+                   variables, flat, flat_boxes)
     kpts = out["keypoints"].reshape(T, C, -1, 3)  # (T, C, K, 3)
     gauss = out["gaussians"].reshape(T, C, -1, 6)
 
