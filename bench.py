@@ -98,6 +98,12 @@ def _time_pipeline(pipe, frames_shape, n_inner: int = 5, n_outer: int = 6):
     return (T * n_inner * n_outer) / dt  # multi-camera frames per sec
 
 
+def _on_tpu():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def main():
     _ensure_backend()
     from __graft_entry__ import _build_pipeline
@@ -105,7 +111,12 @@ def main():
 
     T, C, H, W = 256, 2, 256, 256  # 256 frames x 2 cameras per step
     frames_shape = (T, C, H, W, 3)
-    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
+    # Pallas stage-1 chain kernel (ops/pallas/bottleneck.py): whole
+    # 4-Bottleneck stage VMEM-resident, 3x3 as one K=576 im2col matmul —
+    # measured +3.9% over the flax stage 1 (PROFILE.md experiments).
+    # TPU only: off-TPU it would run in (very slow) interpret mode.
+    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape,
+                           use_pallas_stage1=_on_tpu())
     fps = _time_pipeline(pipe, frames_shape)
     print(
         json.dumps(

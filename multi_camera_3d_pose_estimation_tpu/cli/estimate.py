@@ -115,6 +115,10 @@ def estimate_pose_from_video(
       default ``<project_dir>/{intrinsic,extrinsic}_camera_parameters``
       (the reference exposes the same override, pose_estimation.py:259;
       the orchestrator passes the configuration dir's extrinsics).
+    - ``estimator_kwargs={"use_pallas_stage1": True}`` enables the
+      VMEM-resident stage-1 chain kernel for the hrnet heatmap family
+      (+4% measured on TPU v5e, `ops/pallas/bottleneck.py`; leave off
+      when running off-TPU — interpret mode is slow).
 
     Returns ``(kpts_2d, heatmaps_2d, kpts_3d)`` and writes the npy
     artifacts into ``save_dir`` (default: alongside the recordings).

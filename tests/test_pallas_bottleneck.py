@@ -72,6 +72,35 @@ def test_fused_stage1_matches_model():
                                rtol=5e-4, atol=5e-4)
 
 
+def test_estimator_keypoints_match_with_pallas_stage1():
+    """TopDownEstimator(use_pallas_stage1=True) must produce the same
+    keypoints/gaussians as the plain flax path (interpret mode off-TPU)."""
+    from multi_camera_3d_pose_estimation_tpu.models.topdown import (
+        TopDownEstimator,
+    )
+
+    cfg = {"widths": (8, 16, 32, 64), "modules": (1, 1, 1, 1), "stem": 16}
+    model = HRNet(num_joints=17, cfg=cfg, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
+
+    frames = jax.random.uniform(jax.random.PRNGKey(5), (2, 96, 80, 3))
+    bboxes = jnp.asarray([[8.0, 4.0, 72.0, 92.0], [0.0, 0.0, 80.0, 96.0]])
+
+    plain = TopDownEstimator(model, variables, input_size=(32, 64),
+                             decode="heatmap")
+    fused = TopDownEstimator(model, variables, input_size=(32, 64),
+                             decode="heatmap", use_pallas_stage1=True)
+    assert fused._fused_stage1 is not None
+    a = plain.predict_batch(frames, bboxes)
+    b = fused.predict_batch(frames, bboxes)
+    np.testing.assert_allclose(np.asarray(b["keypoints"]),
+                               np.asarray(a["keypoints"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(b["gaussians"]),
+                               np.asarray(a["gaussians"]),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_fused_stage1_param_tree_unchanged():
     """The fused path must declare the SAME parameter tree (checkpoint
     and converter compatibility)."""
