@@ -160,7 +160,8 @@ def bench_multiclip():
 
     n_clips, T, C, H, W = 8, 32, 4, 256, 256
     frames_shape = (n_clips * T, C, H, W, 3)
-    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
+    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape,
+                           use_pallas_stage1=_on_tpu())
     fps = _time_pipeline(pipe, frames_shape)
     print(json.dumps({
         "metric": "8-clip 4-cam HRNet-W32 concurrent farm (config 5)",
@@ -228,7 +229,8 @@ def bench_stream():
         _write_synthetic_clip(p, T, H, W, seed=c)
         paths.append(p)
 
-    pipe = _build_pipeline(HRNET_W32, (192, 256), (block, C, H, W, 3))
+    pipe = _build_pipeline(HRNET_W32, (192, 256), (block, C, H, W, 3),
+                           use_pallas_stage1=_on_tpu())
     # Warmup pass: compiles the full-block program (and the tail-block
     # shape is padded to `block`, so one shape covers every block).
     run_pipeline_on_videos(pipe, paths, block_size=block, progress=False)
@@ -257,9 +259,11 @@ def bench_detector():
     T, C, H, W = 256, 2, 256, 256
     frames_shape = (T, C, H, W, 3)
     det = build_detector("centernet_w32", input_hw=(H, W))
-    pipe_det = _build_pipeline(HRNET_W32, (192, 256), frames_shape, detector=det)
+    pipe_det = _build_pipeline(HRNET_W32, (192, 256), frames_shape, detector=det,
+                               use_pallas_stage1=_on_tpu())
     fps_det = _time_pipeline(pipe_det, frames_shape)
-    pipe_ff = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
+    pipe_ff = _build_pipeline(HRNET_W32, (192, 256), frames_shape,
+                              use_pallas_stage1=_on_tpu())
     fps_ff = _time_pipeline(pipe_ff, frames_shape)
     print(json.dumps({
         "metric": "2-cam HRNet-W32 with fused CenterNet-w32 detector",
