@@ -28,17 +28,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_run_block(n_inner: int = 5):
-    """The bench.py::run_block program, verbatim shapes."""
+def build_run_block(n_inner: int = 5, use_pallas_stage1: bool | None = None):
+    """The bench.py::run_block program, verbatim shapes.
+
+    ``use_pallas_stage1`` defaults to bench.py's own policy (on iff the
+    backend is TPU) so the trace matches the shipped program; pass
+    False to profile the pure-XLA variant (the round-3 pre-Pallas
+    PROFILE.md tables were captured that way).
+    """
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_pipeline
     from multi_camera_3d_pose_estimation_tpu.models import HRNET_W32
 
+    if use_pallas_stage1 is None:
+        use_pallas_stage1 = jax.default_backend() == "tpu"
     T, C, H, W = 256, 2, 256, 256
     frames_shape = (T, C, H, W, 3)
-    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape)
+    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape,
+                           use_pallas_stage1=use_pallas_stage1)
     rng = np.random.default_rng(0)
     base = jax.device_put(jnp.asarray(rng.uniform(size=frames_shape), jnp.float32))
     bboxes = jax.device_put(
