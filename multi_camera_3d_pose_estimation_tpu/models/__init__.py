@@ -1,7 +1,8 @@
-"""2D pose models: HRNet (heatmap), RTMPose (SimCC), person detection."""
+"""2D pose models: HRNet/Swin (heatmap), RTMPose (SimCC), person detection."""
 
 from .hrnet import HRNet, HRNET_W32, HRNET_W48
 from .rtmpose import RTMPose, CSPNeXt, RTMPOSE_T, RTMPOSE_S, RTMPOSE_M
+from .swin import SwinPose, SwinTransformer, SWIN_B, SWIN_L, SWIN_T
 from .detector import (
     CenterNetDetector,
     SinglePersonDetector,
@@ -30,6 +31,11 @@ __all__ = [
     "RTMPOSE_T",
     "RTMPOSE_S",
     "RTMPOSE_M",
+    "SwinPose",
+    "SwinTransformer",
+    "SWIN_B",
+    "SWIN_L",
+    "SWIN_T",
     "CenterNetDetector",
     "SinglePersonDetector",
     "full_frame_bboxes",

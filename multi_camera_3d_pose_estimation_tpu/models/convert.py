@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["load_torch_hrnet", "load_torch_rtmpose", "torch_state_dict_to_flat"]
+__all__ = [
+    "load_torch_hrnet",
+    "load_torch_rtmpose",
+    "load_torch_swin",
+    "torch_state_dict_to_flat",
+]
 
 
 def torch_state_dict_to_flat(path: str) -> dict[str, np.ndarray]:
@@ -301,6 +306,145 @@ def load_torch_rtmpose(variables: dict, path: str, cfg: dict | None = None) -> d
             f"RTMPose checkpoint has {len(leftovers)} unexpected tensors, "
             f"e.g. {sorted(leftovers)[:5]} — an unsupported RTMPose variant "
             f"(rel_bias/pos_enc/EMA)?  Refusing to load partially."
+        )
+
+    applied = set()
+
+    def apply(p, leaf):
+        key = tuple(_path_keys(p))
+        if key in updates:
+            new = updates[key]
+            if tuple(new.shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(key)}: checkpoint "
+                    f"{new.shape} vs model {leaf.shape}"
+                )
+            applied.add(key)
+            return jnp.asarray(new, leaf.dtype)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(apply, variables)
+    unapplied = set(updates) - applied
+    if unapplied:
+        raise ValueError(
+            f"{len(unapplied)} converted tensors matched no model parameter, "
+            f"e.g. {sorted('/'.join(k) for k in unapplied)[:5]} — flax/torch "
+            f"layout drift?"
+        )
+    return out
+
+
+def _deconv_w(a: np.ndarray) -> np.ndarray:
+    return np.transpose(a, (2, 3, 0, 1))  # torch ConvTranspose (I,O,kh,kw) -> HWIO
+
+
+def _swin_key_table(cfg: dict | None, num_joints: int = 17):
+    """(torch_key, flax_path, transform) triplets for the Swin layout.
+
+    Name-based like RTMPose: our flax SwinPose names every submodule
+    after the MMPose torch hierarchy (models/swin.py), so the mapping is
+    mechanical.  Covers the reference's `coco_swin-b`/`coco_swin-l`
+    checkpoint surface (examples/model_paths.yaml:9-15).
+    """
+    from .swin import SWIN_B
+
+    cfg = cfg or SWIN_B
+    table: list[tuple[str, tuple[str, ...], Any]] = []
+
+    def ln(tprefix: str, fpath: tuple[str, ...]):
+        table.append((f"{tprefix}.weight", ("params", *fpath, "scale"), None))
+        table.append((f"{tprefix}.bias", ("params", *fpath, "bias"), None))
+
+    def linear(tprefix: str, fpath: tuple[str, ...], bias: bool = True):
+        table.append((f"{tprefix}.weight", ("params", *fpath, "kernel"), _linear_w))
+        if bias:
+            table.append((f"{tprefix}.bias", ("params", *fpath, "bias"), None))
+
+    b = "backbone"
+    table.append((f"{b}.patch_embed.projection.weight",
+                  ("params", b, "patch_embed_projection", "kernel"), _conv_w))
+    table.append((f"{b}.patch_embed.projection.bias",
+                  ("params", b, "patch_embed_projection", "bias"), None))
+    ln(f"{b}.patch_embed.norm", (b, "patch_embed_norm"))
+
+    for i, depth in enumerate(cfg["depths"]):
+        for j in range(depth):
+            t = f"{b}.stages.{i}.blocks.{j}"
+            f = (b, f"stage_{i}_block_{j}")
+            ln(f"{t}.norm1", (*f, "norm1"))
+            table.append((f"{t}.attn.w_msa.relative_position_bias_table",
+                          ("params", *f, "attn", "bias_table"), None))
+            linear(f"{t}.attn.w_msa.qkv", (*f, "attn", "qkv"))
+            linear(f"{t}.attn.w_msa.proj", (*f, "attn", "proj"))
+            ln(f"{t}.norm2", (*f, "norm2"))
+            linear(f"{t}.ffn.layers.0.0", (*f, "ffn_fc1"))
+            linear(f"{t}.ffn.layers.1", (*f, "ffn_fc2"))
+        if i < len(cfg["depths"]) - 1:
+            t = f"{b}.stages.{i}.downsample"
+            f = (b, f"downsample_{i}")
+            ln(f"{t}.norm", (*f, "norm"))
+            linear(f"{t}.reduction", (*f, "reduction"), bias=False)
+
+    out_idx = len(cfg["depths"]) - 1
+    ln(f"{b}.norm{out_idx}", (b, "out_norm"))
+
+    for d in range(len(cfg["deconv"])):
+        table.append((f"head.deconv_layers.{3 * d}.weight",
+                      ("params", f"deconv_{d}", "kernel"), _deconv_w))
+        bn = f"head.deconv_layers.{3 * d + 1}"
+        table.append((f"{bn}.weight", ("params", f"deconv_bn_{d}", "scale"), None))
+        table.append((f"{bn}.bias", ("params", f"deconv_bn_{d}", "bias"), None))
+        table.append((f"{bn}.running_mean",
+                      ("batch_stats", f"deconv_bn_{d}", "mean"), None))
+        table.append((f"{bn}.running_var",
+                      ("batch_stats", f"deconv_bn_{d}", "var"), None))
+    table.append(("head.final_layer.weight",
+                  ("params", "final_layer", "kernel"), _conv_w))
+    table.append(("head.final_layer.bias",
+                  ("params", "final_layer", "bias"), None))
+    return table
+
+
+def load_torch_swin(variables: dict, path: str, cfg: dict | None = None) -> dict:
+    """Fill our SwinPose variables pytree from an MMPose Swin state dict.
+
+    The reference's flagship checkpoint surface — `coco_swin-b` /
+    `coco_swin-l` (examples/model_paths.yaml:9-15).  Strict both ways:
+    every expected key must exist with the expected (transposed) shape,
+    and any unexpected checkpoint tensor (beyond num_batches_tracked and
+    the recomputable relative_position_index buffers) aborts the load —
+    a silently misaligned variant is worse than an error.
+    """
+    state = torch_state_dict_to_flat(path)
+    state = {k.removeprefix("module."): v for k, v in state.items()}
+
+    table = _swin_key_table(cfg)
+    updates: dict[tuple[str, ...], np.ndarray] = {}
+    missing: list[str] = []
+    for tkey, fpath, tf in table:
+        if tkey not in state:
+            missing.append(tkey)
+            continue
+        arr = state[tkey]
+        updates[fpath] = tf(arr) if tf else arr
+    if missing:
+        raise ValueError(
+            f"Swin checkpoint missing {len(missing)} expected keys, e.g. "
+            f"{missing[:5]} — is this an MMPose Swin heatmap checkpoint "
+            f"matching the configured embed/depths?"
+        )
+    expected = {tkey for tkey, _, _ in table}
+    leftovers = [
+        k for k in state
+        if k not in expected
+        and not k.endswith("num_batches_tracked")
+        and not k.endswith("relative_position_index")
+    ]
+    if leftovers:
+        raise ValueError(
+            f"Swin checkpoint has {len(leftovers)} unexpected tensors, e.g. "
+            f"{sorted(leftovers)[:5]} — an unsupported Swin variant (APE / "
+            f"extra out_indices norms)?  Refusing to load partially."
         )
 
     applied = set()

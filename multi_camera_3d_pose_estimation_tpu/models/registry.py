@@ -21,6 +21,7 @@ import numpy as np
 
 from .hrnet import HRNET_W32, HRNET_W48, HRNet
 from .rtmpose import RTMPOSE_M, RTMPOSE_S, RTMPOSE_T, RTMPose
+from .swin import SWIN_B, SWIN_L, SwinPose
 from .topdown import TopDownEstimator
 
 __all__ = [
@@ -39,6 +40,13 @@ MODEL_REGISTRY: dict[str, dict[str, Any]] = {
                        "input_size": (192, 256)},
     "coco_hrnet_w48": {"family": "hrnet", "cfg": HRNET_W48, "decode": "heatmap",
                        "input_size": (288, 384)},
+    # Swin heatmap path — the reference's *named* flagship checkpoints
+    # (`coco_swin-b`/`coco_swin-l`, examples/model_paths.yaml:9-15; both
+    # MMPose configs are 256x192 crops).
+    "coco_swin-b": {"family": "swin", "cfg": SWIN_B, "decode": "heatmap",
+                    "input_size": (192, 256)},
+    "coco_swin-l": {"family": "swin", "cfg": SWIN_L, "decode": "heatmap",
+                    "input_size": (192, 256)},
     # SimCC path (BASELINE config 3; reference `coco_rtmpose-t`,
     # examples/model_paths.yaml:14-18).
     "coco_rtmpose-t": {"family": "rtmpose", "cfg": RTMPOSE_T, "decode": "simcc",
@@ -61,6 +69,15 @@ MODEL_REGISTRY: dict[str, dict[str, Any]] = {
         "decode": "heatmap",
         "input_size": (128, 128),
     },
+    # Thin Swin at the production crop (TPU-budget trainable; proves the
+    # Swin family end-to-end in the accuracy harness).
+    "test_swin_192x256": {
+        "family": "swin",
+        "cfg": {"embed": 48, "depths": (2, 2, 4, 2), "heads": (2, 4, 8, 16),
+                "window": 7, "mlp_ratio": 2, "deconv": (64, 64, 64)},
+        "decode": "heatmap",
+        "input_size": (192, 256),
+    },
     # Same small HRNet at the production crop size (48x64 heatmap) — the
     # accuracy harness's heatmap-family model (TPU-budget trainable).
     "test_small_192x256": {
@@ -72,9 +89,9 @@ MODEL_REGISTRY: dict[str, dict[str, Any]] = {
 }
 
 _ALIASES = {
-    # Reference example config names → nearest family here.
-    "coco_swin_b": "coco_hrnet_w32",
-    "coco_swin_l": "coco_hrnet_w48",
+    # Underscore spellings of the reference's dashed names.
+    "coco_swin_b": "coco_swin-b",
+    "coco_swin_l": "coco_swin-l",
 }
 
 
@@ -109,6 +126,8 @@ def build_estimator(
     in_w, in_h = spec["input_size"]
     if spec["family"] == "hrnet":
         model = HRNet(num_joints=num_joints, cfg=spec["cfg"], dtype=dtype)
+    elif spec["family"] == "swin":
+        model = SwinPose(num_joints=num_joints, cfg=spec["cfg"], dtype=dtype)
     else:
         model = RTMPose(
             num_joints=num_joints,
@@ -182,6 +201,10 @@ def _load_checkpoint(variables, path: str, family: str, cfg: dict | None = None)
             from .convert import load_torch_rtmpose
 
             return load_torch_rtmpose(variables, path, cfg)
+        if family == "swin":
+            from .convert import load_torch_swin
+
+            return load_torch_swin(variables, path, cfg)
         raise ValueError(f"torch checkpoint conversion not implemented for {family}")
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=False))

@@ -1,0 +1,355 @@
+"""Swin Transformer top-down heatmap pose model — flax linen, NHWC.
+
+From-scratch TPU-native build of the reference's *actual* flagship pose
+checkpoints: `coco_swin-b` / `coco_swin-l`
+(/root/reference/examples/model_paths.yaml:9-15, loaded through MMPose at
+mmpose_pose_estimation.py:103-109).  Architecture follows the public Swin
+paper (Liu et al., ICCV'21) in the MMPose/mmcv backbone configuration
+(patch4, window7, depths (2,2,18,2)) with the standard MMPose
+`HeatmapHead` (three 4×4-stride-2 deconv+BN+ReLU stages from the 1/32
+feature map up to 1/4, then a 1×1 conv to K heatmaps), so trained MMPose
+Swin checkpoints convert 1:1 (`models/convert.py::load_torch_swin`).
+Submodules carry explicit names mirroring the torch state-dict hierarchy,
+making the conversion name-based rather than order-based.
+
+Numerics pinned to the mmcv implementation (validated against the
+independent torch mirror in tests/torch_mmpose_swin.py):
+
+- feature maps are right/bottom zero-padded to window multiples; padded
+  tokens PARTICIPATE in window attention (the mmcv/official-backbone
+  behavior — only the shifted-window region mask is applied, computed on
+  the padded grid);
+- PatchMerging concatenates the 2×2 neighborhood **channel-major**
+  (nn.Unfold order: index = c·4 + dy·2 + dx), which differs from the
+  original classification repo's offset-major order — the reduction
+  weight consumes this exact order;
+- exact (erf) GELU, LayerNorm eps 1e-5, qkv bias, per-window relative
+  position bias from a ((2w−1)², heads) table.
+
+TPU notes: window attention is pure reshape + batched matmul (MXU);
+NHWC, bfloat16 activations with float32 params, all shapes static —
+window partition/padding/mask geometry is resolved at trace time with
+numpy.  The K-channel heatmap output feeds the same fused on-device
+decode as HRNet (`ops.heatmap_moments`), so frame→Gaussian stays one
+jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SwinPose", "SwinTransformer", "SWIN_B", "SWIN_L", "SWIN_T"]
+
+# MMPose td-hm_swin-{b,l}-p4-w7_coco-256x192 backbones + HeatmapHead.
+SWIN_B = {
+    "embed": 128, "depths": (2, 2, 18, 2), "heads": (4, 8, 16, 32),
+    "window": 7, "mlp_ratio": 4, "deconv": (256, 256, 256),
+}
+SWIN_L = {
+    "embed": 192, "depths": (2, 2, 18, 2), "heads": (6, 12, 24, 48),
+    "window": 7, "mlp_ratio": 4, "deconv": (256, 256, 256),
+}
+SWIN_T = {
+    "embed": 96, "depths": (2, 2, 6, 2), "heads": (3, 6, 12, 24),
+    "window": 7, "mlp_ratio": 4, "deconv": (256, 256, 256),
+}
+
+
+def _rel_position_index(w: int) -> np.ndarray:
+    """(w², w²) index into the (2w−1)² relative-position-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(w), np.arange(w), indexing="ij"))
+    flat = coords.reshape(2, -1)  # (2, w²)
+    rel = (flat[:, :, None] - flat[:, None, :]).transpose(1, 2, 0)  # (w², w², 2)
+    rel[:, :, 0] += w - 1
+    rel[:, :, 1] += w - 1
+    rel[:, :, 0] *= 2 * w - 1
+    return rel.sum(-1)
+
+
+def _shift_mask(hp: int, wp: int, win: int, shift: int) -> np.ndarray:
+    """(nW, w², w²) additive attention mask for shifted windows.
+
+    Built on the PADDED (hp, wp) grid exactly as the official backbone
+    does: three h-slices × three w-slices label the wrapped regions after
+    the cyclic roll; tokens from different regions may not attend
+    (additive −100 ≈ −inf in softmax after exp).
+    """
+    img = np.zeros((hp, wp), np.int32)
+    cnt = 0
+    for hs in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+        for ws in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    m = img.reshape(hp // win, win, wp // win, win)
+    m = m.transpose(0, 2, 1, 3).reshape(-1, win * win)  # (nW, w²)
+    return np.where(m[:, None, :] != m[:, :, None], -100.0, 0.0).astype(np.float32)
+
+
+def _window_partition(x: jax.Array, win: int) -> jax.Array:
+    """(B, Hp, Wp, C) → (B·nW, w², C)."""
+    B, Hp, Wp, C = x.shape
+    x = x.reshape(B, Hp // win, win, Wp // win, win, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, win * win, C)
+
+
+def _window_reverse(x: jax.Array, win: int, B: int, Hp: int, Wp: int) -> jax.Array:
+    """(B·nW, w², C) → (B, Hp, Wp, C)."""
+    C = x.shape[-1]
+    x = x.reshape(B, Hp // win, Wp // win, win, win, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+
+
+class WindowAttention(nn.Module):
+    """Multi-head self-attention inside (optionally shifted) windows.
+
+    Operates on the full (B, H, W, C) map: pads to window multiples,
+    rolls for the shift, partitions, attends with relative position bias
+    (+ shift mask), reverses, crops.  All geometry static.
+    """
+
+    heads: int
+    window: int
+    shift: int = 0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        win = self.window
+        shift = self.shift
+        head_dim = C // self.heads
+        if C % self.heads:
+            raise ValueError(f"channels {C} not divisible by heads {self.heads}")
+
+        pad_b = (win - H % win) % win
+        pad_r = (win - W % win) % win
+        Hp, Wp = H + pad_b, W + pad_r
+        # NOTE: no small-map shift adaptation — the mmdet-lineage Swin
+        # backbone MMPose uses shifts + masks unconditionally (the region
+        # mask makes a single-window shift well-defined); the torch
+        # mirror (tests/torch_mmpose_swin.py) implements the same.
+
+        table = self.param(
+            "bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * win - 1) ** 2, self.heads),
+            jnp.float32,
+        )
+        # Pad BEFORE the qkv projection (mmcv order): padded tokens carry
+        # the qkv bias, and they participate in window attention.
+        if pad_b or pad_r:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+        if shift:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+        xw = _window_partition(x, win)  # (B·nW, w², C)
+        qkv = nn.Dense(
+            3 * C, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
+        )(xw)
+        n = win * win
+        qkv = qkv.reshape(-1, n, 3, self.heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B·nW, n, h, d)
+
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * (head_dim ** -0.5)
+        bias = table[_rel_position_index(win)]  # (n, n, heads) f32
+        attn = attn + bias.transpose(2, 0, 1)[None]
+        if shift:
+            mask = jnp.asarray(_shift_mask(Hp, Wp, win, shift))  # (nW, n, n)
+            nw = mask.shape[0]
+            attn = attn.reshape(-1, nw, self.heads, n, n) + mask[None, :, None]
+            attn = attn.reshape(-1, self.heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+
+        out = jnp.einsum(
+            "bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        out = out.reshape(-1, n, C)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
+
+        out = _window_reverse(out, win, B, Hp, Wp)
+        if shift:
+            out = jnp.roll(out, (shift, shift), axis=(1, 2))
+        return out[:, :H, :W, :]
+
+
+class SwinBlock(nn.Module):
+    """LN → (S)W-MSA → residual; LN → MLP(ratio·C, GELU) → residual."""
+
+    heads: int
+    window: int
+    shift: int = 0
+    mlp_ratio: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
+        ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
+        y = nn.LayerNorm(**ln, name="norm1")(x)
+        y = WindowAttention(
+            self.heads, self.window, self.shift, dtype=self.dtype, name="attn"
+        )(y)
+        x = x + y
+        y = nn.LayerNorm(**ln, name="norm2")(x)
+        y = nn.Dense(
+            self.mlp_ratio * C, dtype=self.dtype, param_dtype=jnp.float32,
+            name="ffn_fc1",
+        )(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU = exact erf
+        y = nn.Dense(
+            C, dtype=self.dtype, param_dtype=jnp.float32, name="ffn_fc2"
+        )(y)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    """2×2 → 1 token downsample: channel-major concat → LN → Linear 4C→2C.
+
+    Channel order matches mmcv's nn.Unfold flattening (index = c·4 + dy·2
+    + dx) — NOT the original classification repo's offset-major concat;
+    the reduction weight consumes this exact order (checkpoint parity).
+    """
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, C = x.shape
+        if H % 2 or W % 2:
+            raise ValueError(f"PatchMerging needs even dims, got {(H, W)}")
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 3, 5, 2, 4)  # (B, H/2, W/2, C, dy, dx)
+        x = x.reshape(B, H // 2, W // 2, 4 * C)
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="norm"
+        )(x)
+        return nn.Dense(
+            2 * C, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name="reduction",
+        )(x)
+
+
+class SwinTransformer(nn.Module):
+    """Swin backbone; (B, H, W, 3) → final 1/32 feature map (NHWC), LN'd.
+
+    out_indices=(3,) like the MMPose pose configs — only the last stage
+    feeds the head, so earlier out-norms are neither computed nor
+    parameterized (they are absent from pose checkpoints too).
+    """
+
+    cfg: Any = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.cfg or SWIN_B
+        depths: Sequence[int] = cfg["depths"]
+        heads: Sequence[int] = cfg["heads"]
+        win = cfg["window"]
+        mlp_ratio = cfg.get("mlp_ratio", 4)
+        x = x.astype(self.dtype)
+
+        H, W = x.shape[1], x.shape[2]
+        if H % 32 or W % 32:
+            raise ValueError(
+                f"Swin input height/width must be divisible by 32 (patch4 + "
+                f"three even patch-merges); got {(H, W)}"
+            )
+
+        # Patch embed: 4×4 stride-4 conv + LN (mmcv PatchEmbed).
+        x = nn.Conv(
+            cfg["embed"], (4, 4), strides=(4, 4), padding="VALID",
+            dtype=self.dtype, param_dtype=jnp.float32,
+            name="patch_embed_projection",
+        )(x)
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+            name="patch_embed_norm",
+        )(x)
+
+        for i, depth in enumerate(depths):
+            for j in range(depth):
+                x = SwinBlock(
+                    heads[i], win, shift=(win // 2) if j % 2 else 0,
+                    mlp_ratio=mlp_ratio, dtype=self.dtype,
+                    name=f"stage_{i}_block_{j}",
+                )(x)
+            if i < len(depths) - 1:
+                x = PatchMerging(dtype=self.dtype, name=f"downsample_{i}")(x)
+
+        return nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+            name="out_norm",
+        )(x)
+
+
+class Deconv(nn.Module):
+    """torch ConvTranspose2d(k, s, p, bias=False) equivalent, NHWC.
+
+    Implemented directly as the conv adjoint — lhs-dilate by the stride,
+    pad (k−1−p), cross-correlate with the spatially flipped kernel — so
+    the semantics match torch exactly (flax's ConvTranspose padding
+    convention differs).  Kernel stored HWIO like nn.Conv; the converter
+    maps torch's (in, out, kh, kw) via transpose(2, 3, 0, 1).
+    """
+
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    pad: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, s, p = self.kernel, self.stride, self.pad
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (k, k, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        e = k - 1 - p
+        return jax.lax.conv_general_dilated(
+            x,
+            jnp.flip(w, (0, 1)).astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((e, e), (e, e)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class SwinPose(nn.Module):
+    """Swin heatmap pose estimator; returns (B, H/4, W/4, num_joints).
+
+    Backbone (1/32) + MMPose HeatmapHead: 3 × [deconv4s2 → BN → ReLU]
+    (channels cfg["deconv"]) + 1×1 conv to K.  Same output contract as
+    `HRNet` — drop-in for `TopDownEstimator` with decode="heatmap".
+    """
+
+    num_joints: int = 17
+    cfg: Any = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        cfg = self.cfg or SWIN_B
+        x = SwinTransformer(cfg=cfg, dtype=self.dtype, name="backbone")(x, train)
+        for d, ch in enumerate(cfg["deconv"]):
+            x = Deconv(ch, dtype=self.dtype, name=f"deconv_{d}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                dtype=self.dtype, param_dtype=jnp.float32, name=f"deconv_bn_{d}",
+            )(x)
+            x = nn.relu(x)
+        heat = nn.Conv(
+            self.num_joints, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+            name="final_layer",
+        )(x)
+        return heat.astype(jnp.float32)

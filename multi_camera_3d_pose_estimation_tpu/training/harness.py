@@ -140,19 +140,24 @@ def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
                          model_name: str = "test_small_128", lr: float = 3e-3,
                          sigma: float = 1.5, seed: int = 0,
                          schedule: str = "cosine"):
-    """Train an HRNet heatmap model on person crops; returns (model, vars)."""
+    """Train a heatmap model (HRNet or Swin family, per the registry
+    entry) on person crops; returns (model, vars)."""
     import jax
     import jax.numpy as jnp
 
     from ..models.hrnet import HRNet
-    from ..models.registry import MODEL_REGISTRY
+    from ..models.registry import MODEL_REGISTRY, resolve_model_name
+    from ..models.swin import SwinPose
     from .loop import make_train_step
     from .losses import heatmap_mse_loss
     from .targets import render_heatmap_targets
 
-    spec = MODEL_REGISTRY[model_name]
+    spec = MODEL_REGISTRY[resolve_model_name(model_name)]
     in_w, in_h = spec["input_size"]
-    model = HRNet(num_joints=17, cfg=spec["cfg"], dtype=jnp.float32)
+    if spec["family"] == "swin":
+        model = SwinPose(num_joints=17, cfg=spec["cfg"], dtype=jnp.float32)
+    else:
+        model = HRNet(num_joints=17, cfg=spec["cfg"], dtype=jnp.float32)
 
     def sample_batch():
         crops, kp_crop = _sample_person_crops(scene, batch, (in_w, in_h))

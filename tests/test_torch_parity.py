@@ -108,3 +108,70 @@ def test_hrnet_converter_rejects_wrong_width(tmp_path):
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
     with pytest.raises(ValueError):
         load_torch_hrnet(variables, path, SMALL_HRNET)
+
+
+# Small Swin exercising window padding at every stage (64x64 input: 1/4
+# maps 16->8->4->2 all non-multiples of window 3) plus shifted blocks.
+SMALL_SWIN = {
+    "embed": 16, "depths": (2, 2, 2, 2), "heads": (1, 2, 4, 8),
+    "window": 3, "mlp_ratio": 2, "deconv": (16, 16, 16),
+}
+# Production window 7: the last two stages (4x4, 2x2 maps) pad to a
+# SINGLE 7x7 window whose shifted blocks rely purely on the region mask
+# (the mmdet-lineage no-small-map-adaptation behavior).
+WIN7_SWIN = {
+    "embed": 16, "depths": (1, 2, 2, 2), "heads": (1, 2, 4, 8),
+    "window": 7, "mlp_ratio": 2, "deconv": (16, 16),
+}
+
+
+def _convert_and_compare_swin(cfg, tmp_path, seed, hw=(64, 64)):
+    from torch_mmpose_swin import MMPoseSwin, randomize_
+
+    from multi_camera_3d_pose_estimation_tpu.models import SwinPose
+    from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_swin
+
+    tm = MMPoseSwin(cfg, num_joints=17)
+    randomize_(tm, seed=seed)
+    tm.eval()
+    path = str(tmp_path / "mmpose_swin.pth")
+    torch.save({"state_dict": tm.state_dict()}, path)
+
+    h, w = hw
+    model = SwinPose(num_joints=17, cfg=cfg, dtype=jnp.float32)
+    x_np = np.random.default_rng(seed).uniform(size=(2, h, w, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)))
+    variables = load_torch_swin(variables, path, cfg)
+
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x_np).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    out = np.asarray(model.apply(variables, jnp.asarray(x_np)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_swin_converter_vs_independent_torch_forward(tmp_path):
+    _convert_and_compare_swin(SMALL_SWIN, tmp_path, seed=0)
+
+
+def test_swin_converter_window7_single_window_shift(tmp_path):
+    _convert_and_compare_swin(WIN7_SWIN, tmp_path, seed=1)
+
+
+def test_swin_converter_rejects_variant_leftovers(tmp_path):
+    """Extra tensors (unsupported Swin variant) must abort, not load."""
+    from torch_mmpose_swin import MMPoseSwin, randomize_
+
+    from multi_camera_3d_pose_estimation_tpu.models import SwinPose
+    from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_swin
+
+    tm = MMPoseSwin(SMALL_SWIN, num_joints=17)
+    randomize_(tm)
+    sd = tm.state_dict()
+    sd["backbone.absolute_pos_embed"] = torch.zeros(1, 4, 16)
+    path = str(tmp_path / "variant.pth")
+    torch.save({"state_dict": sd}, path)
+
+    model = SwinPose(num_joints=17, cfg=SMALL_SWIN, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    with pytest.raises(ValueError, match="unexpected"):
+        load_torch_swin(variables, path, SMALL_SWIN)
