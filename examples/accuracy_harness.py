@@ -46,6 +46,13 @@ def main():
                    help="chain the full MLE SGD refinement onto the "
                         "pipeline output and report mpjpe_3d_sgd")
     p.add_argument("--sgd_max_iter", type=int, default=3000)
+    p.add_argument("--sgd_variants", default=None,
+                   help="JSON dict of named RefineConfig overrides run "
+                        "against the same trained pipeline output, e.g. "
+                        '\'{"no_priors": {"lambda_smooth": 0.0, '
+                        '"lambda_body_length": 0.0}}\'')
+    p.add_argument("--schedule", choices=("cosine", "constant"),
+                   default="cosine", help="synthetic-trainer lr schedule")
     args = p.parse_args()
 
     if args.cpu:
@@ -66,6 +73,8 @@ def main():
         hard=args.hard,
         sgd_refine=args.sgd,
         sgd_kwargs={"max_iter": args.sgd_max_iter},
+        sgd_variants=json.loads(args.sgd_variants) if args.sgd_variants else None,
+        schedule=args.schedule,
     )
     print(json.dumps(metrics, indent=1))
     if args.out:

@@ -236,6 +236,8 @@ def run_accuracy_harness(
     hard: bool = False,
     sgd_refine: bool = False,
     sgd_kwargs: dict | None = None,
+    sgd_variants: dict[str, dict] | None = None,
+    schedule: str = "cosine",
 ):
     """Full train→deploy accuracy measurement; returns a metrics dict:
 
@@ -262,6 +264,11 @@ def run_accuracy_harness(
     the pipeline output — trained-model Gaussians in, refined trajectory
     out — and report ``mpjpe_3d_sgd``; body lengths come from the oracle
     skeleton (the reference reads them from a user-measured YAML).
+    ``sgd_variants``: extra named `RefineConfig` overrides run against
+    the SAME trained pipeline output (training dominates wall-clock, the
+    refinement sweeps are cheap) — each reports
+    ``mpjpe_3d_sgd_<name>``.  ``schedule``: lr schedule for the synthetic
+    trainers ("cosine" warmup+cosine or "constant").
     """
     import jax.numpy as jnp
 
@@ -277,12 +284,12 @@ def run_accuracy_harness(
     detector, det_loss = train_synthetic_detector(scene, steps=det_steps)
     if pose_family == "heatmap":
         model, variables, input_size, pose_loss = train_synthetic_pose(
-            scene, steps=pose_steps,
+            scene, steps=pose_steps, schedule=schedule,
             **({"model_name": pose_model_name} if pose_model_name else {}),
         )
     else:
         model, variables, input_size, pose_loss = train_synthetic_simcc(
-            scene, steps=pose_steps,
+            scene, steps=pose_steps, schedule=schedule,
             **({"model_name": pose_model_name} if pose_model_name else {}),
         )
         decode_mode = "default"  # DARK is a heatmap-space refinement
@@ -321,6 +328,7 @@ def run_accuracy_harness(
     err3d_ref = np.linalg.norm(refined - traj, axis=-1)
 
     err3d_sgd = None
+    sgd_variant_errs: dict[str, np.ndarray] = {}
     if sgd_refine:
         # Full-workflow chain (reference pose_refinement.py:1099-1256):
         # trained-model Gaussians + interpolated trajectory → MLE Adam.
@@ -344,11 +352,15 @@ def run_accuracy_harness(
                         lambda_smooth=0.2, lambda_body_length=0.5,
                         batch_size=min(100, n_frames), tolerance=0.0)
         defaults.update(sgd_kwargs or {})
-        res = refiner.sgd_optimize(**defaults)
-        err3d_sgd = np.linalg.norm(
-            np.asarray(res.trajectory) - traj[: np.asarray(res.trajectory).shape[0]],
-            axis=-1,
-        )
+
+        def _sgd_err(kw):
+            res = refiner.sgd_optimize(**kw)
+            rt = np.asarray(res.trajectory)
+            return np.linalg.norm(rt - traj[: rt.shape[0]], axis=-1)
+
+        err3d_sgd = _sgd_err(defaults)
+        for vname, overrides in (sgd_variants or {}).items():
+            sgd_variant_errs[vname] = _sgd_err({**defaults, **overrides})
 
     # Detector tightness on the validation frames.
     flat = frames.reshape(-1, scene.height, scene.width, 3)
@@ -388,6 +400,9 @@ def run_accuracy_harness(
     if err3d_sgd is not None:
         metrics["mpjpe_3d_sgd"] = float(np.nanmean(err3d_sgd))
         metrics["mpjpe_3d_sgd_median"] = float(np.nanmedian(err3d_sgd))
+    for vname, e in sgd_variant_errs.items():
+        metrics[f"mpjpe_3d_sgd_{vname}"] = float(np.nanmean(e))
+        metrics[f"mpjpe_3d_sgd_{vname}_median"] = float(np.nanmedian(e))
     if pose_family == "heatmap":
         metrics["px_err_flip_shift"] = px_err(True)
         metrics["px_err_flip_noshift"] = px_err(False)
