@@ -147,6 +147,27 @@ def bench_simcc():
     }))
 
 
+def bench_swin():
+    """Swin-B 2D+triangulation throughput — the reference's *named*
+    flagship checkpoint (`coco_swin-b`, examples/model_paths.yaml:9-12;
+    MMPose td-hm_swin-b-p4-w7 at 256x192).  Same jitted pipeline as the
+    headline with the Swin backbone swapped in (window attention = pure
+    reshape+matmul on the MXU, models/swin.py)."""
+    _ensure_backend()
+    from __graft_entry__ import _build_pipeline
+    from multi_camera_3d_pose_estimation_tpu.models import SWIN_B
+
+    T, C, H, W = 128, 2, 256, 256  # ~3.4x HRNet-W32 GFLOPs/crop: smaller block
+    frames_shape = (T, C, H, W, 3)
+    pipe = _build_pipeline(SWIN_B, (192, 256), frames_shape, family="swin")
+    fps = _time_pipeline(pipe, frames_shape)
+    print(json.dumps({
+        "metric": "2-cam Swin-B 2D+triangulation (reference flagship)",
+        "value": round(fps, 2), "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 1000.0, 4),
+    }))
+
+
 def bench_multiclip():
     """BASELINE config 5: 8 synchronized 4-camera clips concurrently.
 
@@ -374,6 +395,7 @@ if __name__ == "__main__":
         "simcc": bench_simcc,                  # config 3
         "refinement": bench_refinement,        # config 4
         "multiclip": bench_multiclip,          # config 5
+        "swin": bench_swin,                    # reference's named flagship
         "stream": bench_stream,                # video-in -> 3D-out e2e
         "detector": bench_detector,            # fused detection cost
     }[cfg]()
