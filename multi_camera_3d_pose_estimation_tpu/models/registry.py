@@ -69,6 +69,15 @@ MODEL_REGISTRY: dict[str, dict[str, Any]] = {
         "decode": "heatmap",
         "input_size": (128, 128),
     },
+    # Tiny Swin (CPU-budget: 2 stages -> 1/8 backbone, one deconv -> the
+    # 1/4 heatmap the training targets expect) for harness smoke tests.
+    "test_swin_128": {
+        "family": "swin",
+        "cfg": {"embed": 24, "depths": (1, 1), "heads": (2, 4), "window": 4,
+                "mlp_ratio": 2, "deconv": (16,)},
+        "decode": "heatmap",
+        "input_size": (128, 128),
+    },
     # Thin Swin at the production crop (TPU-budget trainable; proves the
     # Swin family end-to-end in the accuracy harness).
     "test_swin_192x256": {

@@ -167,6 +167,18 @@ def test_accuracy_harness_distortion_sgd_smoke():
         assert key in m and np.isfinite(m[key]), (key, m)
 
 
+def test_accuracy_harness_swin_smoke():
+    """Swin family through the family-aware train→deploy harness
+    (train_synthetic_pose dispatches on the registry family)."""
+    from multi_camera_3d_pose_estimation_tpu.training import run_accuracy_harness
+
+    m = run_accuracy_harness(n_frames=2, det_steps=10, pose_steps=10,
+                             pose_model_name="test_swin_128")
+    for key in ("mpjpe_3d", "px_err_2d", "det_tight_frac", "pose_loss"):
+        assert key in m and np.isfinite(m[key]), (key, m)
+    assert m["pose_family"] == "heatmap"
+
+
 def test_accuracy_harness_simcc_smoke():
     """SimCC family (RTMPose-t, BASELINE config 3) through the same
     train→deploy harness; flip-shift keys are heatmap-only by design."""
