@@ -348,8 +348,13 @@ def run_accuracy_harness(
             np.asarray(out["heatmaps_2d"]), refined, cam_params,
             body_lengths=bl,
         )
+        # The reference README's own example SGD parameters
+        # (/root/reference/README.md:36-41): lr 0.01, lambda_smooth 1e-6
+        # (i.e. near-zero — smoothness is NOT meant to dominate),
+        # lambda_body_length 1.  max_iter is budgeted down from the
+        # README's 50000 (the jitted loop converges in a few thousand).
         defaults = dict(lr=0.01, max_iter=3000, patience=200,
-                        lambda_smooth=0.2, lambda_body_length=0.5,
+                        lambda_smooth=1e-6, lambda_body_length=1.0,
                         batch_size=min(100, n_frames), tolerance=0.0)
         defaults.update(sgd_kwargs or {})
 
