@@ -60,8 +60,13 @@ def train_model(args) -> TrainState:
     spec = MODEL_REGISTRY[resolve_model_name(args.model)]
     in_w, in_h = spec["input_size"]
     dtype = jnp.dtype(getattr(args, "dtype", "bfloat16"))
-    if spec["family"] == "hrnet":
-        model = HRNet(num_joints=17, cfg=spec["cfg"], dtype=dtype)
+    if spec["family"] in ("hrnet", "swin"):
+        if spec["family"] == "swin":
+            from ..models import SwinPose
+
+            model = SwinPose(num_joints=17, cfg=spec["cfg"], dtype=dtype)
+        else:
+            model = HRNet(num_joints=17, cfg=spec["cfg"], dtype=dtype)
 
         def loss_fn(outputs, batch):
             return heatmap_mse_loss(

@@ -43,6 +43,28 @@ def test_write_coco_dataset_roundtrip(tmp_path):
     assert img is not None and img.shape == (96, 96, 3)
 
 
+def test_train_cli_swin_family(tmp_path):
+    """Swin names route to the heatmap branch (SwinPose + MSE targets),
+    and the npz checkpoint round-trips through the registry."""
+    from multi_camera_3d_pose_estimation_tpu.cli.train import main as train_main
+
+    size = 128
+    ann, imgs = write_coco_dataset(tmp_path, n_images=8, width=size,
+                                   height=size, seed=1)
+    ckpt = str(tmp_path / "swin.npz")
+    train_main([
+        "--annotations", ann, "--images", imgs, "--model", "test_swin_128",
+        "--steps", "4", "--batch_size", "4", "--learning_rate", "2e-3",
+        "--out", ckpt, "--checkpoint_every", "0", "--log_every", "2",
+        "--image_size", str(size), str(size), "--no_augment",
+        "--dtype", "float32",
+    ])
+    est = build_estimator("test_swin_128", checkpoint=ckpt)
+    frames = np.zeros((1, size, size, 3), np.uint8)
+    out = est.predict_batch(frames)
+    assert np.asarray(out["keypoints"]).shape == (1, 17, 3)
+
+
 @pytest.mark.slow
 def test_train_cli_converges(tmp_path):
     from examples.train_synthetic_coco import evaluate_px_error
