@@ -59,6 +59,13 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # The tunneled axon backend occasionally fails to register at
+        # process start; re-exec a few times like bench.py does (a
+        # mid-run tunnel drop still kills the run — re-run the CLI).
+        from bench import _ensure_backend
+
+        _ensure_backend()
 
     from multi_camera_3d_pose_estimation_tpu.training import run_accuracy_harness
 
