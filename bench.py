@@ -20,13 +20,54 @@ import time
 import numpy as np
 
 
-def _ensure_backend(max_retries: int = 3):
-    """The axon TPU plugin occasionally fails to register (transient tunnel
-    hiccup), leaving a dangling JAX_PLATFORMS=axon.  Re-exec the process a
-    few times before giving up — jax backends can't re-init in-process."""
+def _backend_probe(timeout_s: float = 90.0) -> bool:
+    """True iff backend init completes quickly in a KILLABLE subprocess.
+
+    During a tunnel outage `jax.devices()` does not fail fast — it blocks
+    ~25 minutes inside the init RPC before raising UNAVAILABLE (observed
+    2026-08-17: every queued run burned 25 min/attempt looking alive at
+    0% CPU).  A healthy init takes seconds, so probing out-of-process
+    with a hard timeout separates "down" from "up" in ≤``timeout_s``.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _ensure_backend(max_retries: int = 3, probe_timeout_s: float = 90.0):
+    """Bounded-wait backend bring-up.
+
+    Two failure modes, both observed on the tunneled axon backend:
+    transient registration failure at process start (raises quickly —
+    re-exec, because jax backends can't re-init in-process) and a full
+    tunnel outage (init BLOCKS ~25 min, see `_backend_probe`).  The
+    subprocess probe bounds every attempt, so the worst case is
+    ``max_retries`` × (probe + backoff) ≈ minutes, not hours, ending in
+    a clear error instead of a silent hang."""
     import os
     import sys
     import time
+
+    tries = int(os.environ.get("_BENCH_RETRY", "0"))
+    while not _backend_probe(probe_timeout_s):
+        tries += 1
+        if tries > max_retries:
+            raise RuntimeError(
+                f"backend init probe failed {max_retries + 1}× "
+                f"(each bounded at {probe_timeout_s:.0f}s) — the device "
+                f"tunnel looks DOWN, refusing to hang on in-process init"
+            )
+        print(f"backend probe failed; retry {tries}/{max_retries}",
+              file=sys.stderr)
+        time.sleep(20 * tries)
 
     try:
         import jax
@@ -34,12 +75,10 @@ def _ensure_backend(max_retries: int = 3):
         jax.devices()
         return
     except Exception as e:  # pragma: no cover - environment flake path
-        tries = int(os.environ.get("_BENCH_RETRY", "0"))
         if tries >= max_retries:
             raise
-        print(f"backend init failed ({e}); retry {tries + 1}/{max_retries}",
-              file=sys.stderr)
-        time.sleep(10 * (tries + 1))
+        print(f"backend init failed in-process ({e}); re-exec "
+              f"{tries + 1}/{max_retries}", file=sys.stderr)
         os.environ["_BENCH_RETRY"] = str(tries + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
