@@ -173,6 +173,12 @@ class TopDownEstimator:
         # (ops/pallas/bottleneck.py documents the HBM-traffic rationale).
         self._fused_stage1 = None
         if use_pallas_stage1 and decode == "heatmap":
+            if "Bottleneck_0" not in self.variables.get("params", {}):
+                raise ValueError(
+                    "use_pallas_stage1 fuses the HRNet stage-1 Bottleneck "
+                    "chain; this model has no Bottleneck_0 (Swin and other "
+                    "heatmap backbones are not supported — leave it off)"
+                )
             from ..ops.pallas.bottleneck import make_fused_stage1
 
             self._fused_stage1 = make_fused_stage1(self.variables)

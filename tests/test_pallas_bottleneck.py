@@ -120,3 +120,21 @@ def test_fused_stage1_param_tree_unchanged():
     assert paths_p == paths_f
     for (_, a), (_, b) in zip(flat_p, flat_f):
         assert a.shape == b.shape
+
+
+def test_pallas_stage1_rejects_non_hrnet_heatmap_models():
+    """use_pallas_stage1 fuses HRNet's stage-1 Bottlenecks; a heatmap
+    model without them (e.g. Swin) must be rejected with a clear error,
+    not a KeyError from the BN-folding internals."""
+    from multi_camera_3d_pose_estimation_tpu.models.swin import SwinPose
+    from multi_camera_3d_pose_estimation_tpu.models.topdown import (
+        TopDownEstimator,
+    )
+
+    cfg = {"embed": 8, "depths": (1, 1), "heads": (1, 2), "window": 2,
+           "mlp_ratio": 1, "deconv": (8,)}
+    model = SwinPose(num_joints=3, cfg=cfg, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    with pytest.raises(ValueError, match="Bottleneck"):
+        TopDownEstimator(model, variables, input_size=(32, 32),
+                         decode="heatmap", use_pallas_stage1=True)
