@@ -53,7 +53,16 @@ def main():
                         '"lambda_body_length": 0.0}}\'')
     p.add_argument("--schedule", choices=("cosine", "constant"),
                    default="cosine", help="synthetic-trainer lr schedule")
+    p.add_argument("--workdir", default=None,
+                   help="checkpoint dir for the pose trainer (resume after "
+                        "a kill); defaults to '<out>.ckpt' when --out is "
+                        "given, pass 'none' to disable")
     args = p.parse_args()
+    workdir = args.workdir
+    if workdir is None and args.out:
+        workdir = args.out + ".ckpt"
+    if workdir == "none":
+        workdir = None
 
     if args.cpu:
         import jax
@@ -82,6 +91,7 @@ def main():
         sgd_kwargs={"max_iter": args.sgd_max_iter},
         sgd_variants=json.loads(args.sgd_variants) if args.sgd_variants else None,
         schedule=args.schedule,
+        workdir=workdir,
     )
     print(json.dumps(metrics, indent=1))
     if args.out:

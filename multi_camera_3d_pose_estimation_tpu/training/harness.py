@@ -115,6 +115,32 @@ def train_synthetic_detector(scene, steps: int = 200, batch: int = 16,
     return SinglePersonDetector(model, det_vars, bbox_thr=0.15), float(loss)
 
 
+def _run_train_loop(state, step_fn, sample_batch, steps: int,
+                    checkpoint_path: str | None = None,
+                    checkpoint_every: int = 500):
+    """Drive ``step_fn`` to ``steps``, optionally checkpointing/resuming.
+
+    With ``checkpoint_path`` (an ``.npz``), the loop saves every
+    ``checkpoint_every`` steps and RESUMES from an existing file — a
+    killed 40-minute TPU run (device-tunnel flake, pre-emption) restarts
+    where it left off instead of from zero.  The optimizer state rides
+    along, so warmup+cosine schedules continue at the right step.
+    """
+    import os
+
+    from .loop import TrainState
+
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        state = TrainState.load(checkpoint_path, state)
+    loss = np.inf
+    while state.step < steps:
+        state, loss = step_fn(state, sample_batch())
+        if checkpoint_path and (state.step % checkpoint_every == 0
+                                or state.step >= steps):
+            state.save(checkpoint_path)
+    return state, float(loss)
+
+
 def _make_tx(lr: float, steps: int, schedule: str, grad_clip: float = 1.0):
     """Optimizer for the synthetic trainers.  ``schedule="cosine"`` wraps
     the peak lr in linear warmup (5% of steps) + cosine decay — the fix
@@ -139,7 +165,9 @@ def _make_tx(lr: float, steps: int, schedule: str, grad_clip: float = 1.0):
 def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
                          model_name: str = "test_small_128", lr: float = 3e-3,
                          sigma: float = 1.5, seed: int = 0,
-                         schedule: str = "cosine"):
+                         schedule: str = "cosine",
+                         checkpoint_path: str | None = None,
+                         checkpoint_every: int = 500):
     """Train a heatmap model (HRNet or Swin family, per the registry
     entry) on person crops; returns (model, vars)."""
     import jax
@@ -174,16 +202,17 @@ def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
     init_fn, step_fn = make_train_step(model, loss_fn,
                                        tx=_make_tx(lr, steps, schedule))
     state = init_fn(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
-    loss = np.inf
-    for _ in range(steps):
-        state, loss = step_fn(state, sample_batch())
+    state, loss = _run_train_loop(state, step_fn, sample_batch, steps,
+                                  checkpoint_path, checkpoint_every)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    return model, variables, (in_w, in_h), float(loss)
+    return model, variables, (in_w, in_h), loss
 
 
 def train_synthetic_simcc(scene, steps: int = 400, batch: int = 8,
                           model_name: str = "coco_rtmpose-t", lr: float = 3e-3,
-                          seed: int = 0, schedule: str = "cosine"):
+                          seed: int = 0, schedule: str = "cosine",
+                          checkpoint_path: str | None = None,
+                          checkpoint_every: int = 500):
     """Train an RTMPose SimCC model on person crops (BASELINE config 3's
     model family); returns (model, vars, input_size, loss)."""
     import jax
@@ -214,11 +243,10 @@ def train_synthetic_simcc(scene, steps: int = 400, batch: int = 8,
     init_fn, step_fn = make_train_step(model, loss_fn,
                                        tx=_make_tx(lr, steps, schedule))
     state = init_fn(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
-    loss = np.inf
-    for _ in range(steps):
-        state, loss = step_fn(state, sample_batch())
+    state, loss = _run_train_loop(state, step_fn, sample_batch, steps,
+                                  checkpoint_path, checkpoint_every)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    return model, variables, (in_w, in_h), float(loss)
+    return model, variables, (in_w, in_h), loss
 
 
 def run_accuracy_harness(
@@ -238,6 +266,7 @@ def run_accuracy_harness(
     sgd_kwargs: dict | None = None,
     sgd_variants: dict[str, dict] | None = None,
     schedule: str = "cosine",
+    workdir: str | None = None,
 ):
     """Full train→deploy accuracy measurement; returns a metrics dict:
 
@@ -269,6 +298,11 @@ def run_accuracy_harness(
     refinement sweeps are cheap) — each reports
     ``mpjpe_3d_sgd_<name>``.  ``schedule``: lr schedule for the synthetic
     trainers ("cosine" warmup+cosine or "constant").
+    ``workdir``: directory for pose-trainer checkpoints — full-budget runs
+    save every 500 steps and RESUME from the latest checkpoint after a
+    kill (device-tunnel flake, pre-emption); the file name encodes the
+    family/model/budget/domain so a changed configuration never resumes
+    from an incompatible state.
     """
     import jax.numpy as jnp
 
@@ -282,19 +316,32 @@ def run_accuracy_harness(
     scene = SyntheticSceneConfig(n_cams=n_cams, seed=seed,
                                  distortion=distortion, hard=hard)
     detector, det_loss = train_synthetic_detector(scene, steps=det_steps)
+    ckpt = None
+    if workdir:
+        import os
+
+        os.makedirs(workdir, exist_ok=True)
+        tag = (f"{pose_family}_{pose_model_name or 'default'}_{pose_steps}"
+               f"_{schedule}_{'hard' if hard else 'easy'}"
+               f"_{'dist' if distortion is not None else 'nodist'}_s{seed}")
+        ckpt = os.path.join(workdir, f"pose_{tag}.npz")
     if pose_family == "heatmap":
         model, variables, input_size, pose_loss = train_synthetic_pose(
-            scene, steps=pose_steps, schedule=schedule,
+            scene, steps=pose_steps, schedule=schedule, checkpoint_path=ckpt,
             **({"model_name": pose_model_name} if pose_model_name else {}),
         )
     else:
         model, variables, input_size, pose_loss = train_synthetic_simcc(
-            scene, steps=pose_steps, schedule=schedule,
+            scene, steps=pose_steps, schedule=schedule, checkpoint_path=ckpt,
             **({"model_name": pose_model_name} if pose_model_name else {}),
         )
         decode_mode = "default"  # DARK is a heatmap-space refinement
 
-    # Validation clip (fresh noise, smooth trajectory).
+    # Validation clip (fresh noise, smooth trajectory).  The eval stream
+    # gets its OWN deterministic rng: training consumes a data-dependent
+    # number of scene.rng draws (zero after a full checkpoint resume), and
+    # the eval clip must be the same clip either way.
+    scene.rng = np.random.default_rng(seed + 1_000_003)
     traj = scene.trajectory(n_frames)
     frames = np.zeros((n_frames, n_cams, scene.height, scene.width, 3), np.uint8)
     proj_all = np.zeros((n_frames, n_cams, 17, 2))

@@ -190,3 +190,42 @@ def test_accuracy_harness_simcc_smoke():
         assert key in m and np.isfinite(m[key]), (key, m)
     assert m["pose_family"] == "simcc"
     assert "px_err_flip_shift" not in m
+
+
+def test_pose_trainer_checkpoint_resume(tmp_path):
+    """The synthetic pose trainer must save periodic TrainState
+    checkpoints and resume from them: a killed full-budget TPU run
+    (device-tunnel flake) restarts where it left off, optimizer state —
+    and thus the warmup+cosine position — included."""
+    import jax.numpy as jnp
+
+    from multi_camera_3d_pose_estimation_tpu.training.harness import (
+        train_synthetic_pose,
+    )
+    from multi_camera_3d_pose_estimation_tpu.training.synthetic import (
+        SyntheticSceneConfig,
+    )
+
+    ckpt = str(tmp_path / "pose.npz")
+    scene = SyntheticSceneConfig(n_cams=2, seed=3)
+    kw = dict(batch=2, model_name="test_tiny", checkpoint_path=ckpt,
+              checkpoint_every=2)
+    _, v4, _, _ = train_synthetic_pose(scene, steps=4, **kw)
+    import numpy as np
+
+    flat = np.load(ckpt)
+    assert int(flat["step"]) == 4
+
+    # Second call with a larger budget resumes from step 4 — and from the
+    # SAVED weights: its step-4 state must equal the checkpoint.
+    _, v8, _, _ = train_synthetic_pose(scene, steps=8, **kw)
+    flat = np.load(ckpt)
+    assert int(flat["step"]) == 8
+
+    # Fully-complete checkpoint: a third call trains zero steps and
+    # returns the checkpointed weights unchanged.
+    _, v8b, _, _ = train_synthetic_pose(scene, steps=8, **kw)
+    a = jax.tree.leaves(v8["params"])
+    b = jax.tree.leaves(v8b["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
