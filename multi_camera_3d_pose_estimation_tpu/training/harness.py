@@ -65,41 +65,27 @@ def _sample_person_crops(scene, batch: int, input_size):
 
 
 def train_synthetic_detector(scene, steps: int = 200, batch: int = 16,
-                             width: int = 8, lr: float = 3e-3, seed: int = 0):
-    """Train a CenterNet on rendered frames; returns a SinglePersonDetector."""
+                             width: int = 8, lr: float = 3e-3, seed: int = 0,
+                             checkpoint_path: str | None = None,
+                             checkpoint_every: int = 500):
+    """Train a CenterNet on rendered frames; returns a SinglePersonDetector.
+
+    Runs through the shared `make_train_step`/`TrainState` loop, so it
+    checkpoints/resumes like the pose trainers (``checkpoint_path``)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from ..models.detector import CenterNetDetector, SinglePersonDetector
+    from .loop import make_train_step
     from .losses import centernet_focal_loss
+    from .synthetic import person_bbox
     from .targets import render_centernet_targets
 
     H, W = scene.height, scene.width
     model = CenterNetDetector(width=width, dtype=jnp.float32)
-    variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, H, W, 3)))
-    params, batch_stats = variables["params"], variables["batch_stats"]
-    tx = optax.adam(lr)
-    opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, batch_stats, opt_state, imgs, boxes):
-        def loss_of(p):
-            out, new = model.apply(
-                {"params": p, "batch_stats": batch_stats}, imgs,
-                train=True, mutable=["batch_stats"],
-            )
-            ct, wh, off, mask = render_centernet_targets(boxes, (H // 16, W // 16))
-            return centernet_focal_loss(out, ct, wh, off, mask), new
-
-        (loss, new), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(params, updates), new["batch_stats"], opt_state, loss
-
-    from .synthetic import person_bbox
-
-    loss = np.inf
-    for _ in range(steps):
+    def sample_batch():
         imgs, boxes = [], []
         for _ in range(batch):
             pts = scene.sample_pose()
@@ -107,12 +93,21 @@ def train_synthetic_detector(scene, steps: int = 200, batch: int = 16,
             frame, proj = scene.render_training_view(pts, cam)
             imgs.append(frame.astype(np.float32) / 255.0)
             boxes.append(person_bbox(proj, W, H))
-        params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state,
-            jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(boxes)),
+        return {"images": jnp.asarray(np.stack(imgs)),
+                "boxes": jnp.asarray(np.stack(boxes))}
+
+    def loss_fn(outputs, b):
+        ct, wh, off, mask = render_centernet_targets(
+            b["boxes"], (H // 16, W // 16)
         )
-    det_vars = {"params": params, "batch_stats": batch_stats}
-    return SinglePersonDetector(model, det_vars, bbox_thr=0.15), float(loss)
+        return centernet_focal_loss(outputs, ct, wh, off, mask)
+
+    init_fn, step_fn = make_train_step(model, loss_fn, tx=optax.adam(lr))
+    state = init_fn(jax.random.PRNGKey(seed), jnp.zeros((1, H, W, 3)))
+    state, loss = _run_train_loop(state, step_fn, sample_batch, steps,
+                                  checkpoint_path, checkpoint_every)
+    det_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    return SinglePersonDetector(model, det_vars, bbox_thr=0.15), loss
 
 
 def _run_train_loop(state, step_fn, sample_batch, steps: int,
@@ -315,8 +310,7 @@ def run_accuracy_harness(
         raise ValueError(f"unknown pose_family '{pose_family}'")
     scene = SyntheticSceneConfig(n_cams=n_cams, seed=seed,
                                  distortion=distortion, hard=hard)
-    detector, det_loss = train_synthetic_detector(scene, steps=det_steps)
-    ckpt = None
+    ckpt = det_ckpt = None
     if workdir:
         import os
 
@@ -325,6 +319,9 @@ def run_accuracy_harness(
                f"_{schedule}_{'hard' if hard else 'easy'}"
                f"_{'dist' if distortion is not None else 'nodist'}_s{seed}")
         ckpt = os.path.join(workdir, f"pose_{tag}.npz")
+        det_ckpt = os.path.join(workdir, f"det_{tag}.npz")
+    detector, det_loss = train_synthetic_detector(scene, steps=det_steps,
+                                                  checkpoint_path=det_ckpt)
     if pose_family == "heatmap":
         model, variables, input_size, pose_loss = train_synthetic_pose(
             scene, steps=pose_steps, schedule=schedule, checkpoint_path=ckpt,
