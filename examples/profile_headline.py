@@ -28,26 +28,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_run_block(n_inner: int = 5, use_pallas_stage1: bool | None = None):
+def build_run_block(n_inner: int = 5, use_pallas_stage1: bool | None = None,
+                    family: str = "hrnet", T: int | None = None):
     """The bench.py::run_block program, verbatim shapes.
 
     ``use_pallas_stage1`` defaults to bench.py's own policy (on iff the
     backend is TPU) so the trace matches the shipped program; pass
     False to profile the pure-XLA variant (the round-3 pre-Pallas
-    PROFILE.md tables were captured that way).
+    PROFILE.md tables were captured that way).  ``family`` selects the
+    bench config to trace: "hrnet" (headline), "swin" (`bench.py swin`,
+    T=128), or "rtmpose" (config 3).
     """
     import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _build_pipeline
-    from multi_camera_3d_pose_estimation_tpu.models import HRNET_W32
+    from multi_camera_3d_pose_estimation_tpu.models import HRNET_W32, SWIN_B
+    from multi_camera_3d_pose_estimation_tpu.models.rtmpose import RTMPOSE_T
 
     if use_pallas_stage1 is None:
-        use_pallas_stage1 = jax.default_backend() == "tpu"
-    T, C, H, W = 256, 2, 256, 256
+        use_pallas_stage1 = (jax.default_backend() == "tpu"
+                             and family == "hrnet")
+    if T is None:
+        T = 128 if family == "swin" else 256
+    C, H, W = 2, 256, 256
     frames_shape = (T, C, H, W, 3)
-    pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape,
-                           use_pallas_stage1=use_pallas_stage1)
+    if family == "hrnet":
+        pipe = _build_pipeline(HRNET_W32, (192, 256), frames_shape,
+                               use_pallas_stage1=use_pallas_stage1)
+    elif family == "swin":
+        pipe = _build_pipeline(SWIN_B, (192, 256), frames_shape,
+                               family="swin")
+    elif family == "rtmpose":
+        pipe = _build_pipeline(RTMPOSE_T, (192, 256), frames_shape,
+                               family="rtmpose")
+    else:
+        raise ValueError(f"unknown family {family!r}")
     rng = np.random.default_rng(0)
     base = jax.device_put(jnp.asarray(rng.uniform(size=frames_shape), jnp.float32))
     bboxes = jax.device_put(
@@ -82,10 +98,18 @@ def compile_once(run_block, base):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
-    run_block, base, (T, n_inner) = build_run_block()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", choices=("hrnet", "swin", "rtmpose"),
+                    default="hrnet")
+    ap.add_argument("--trace_dir", default=None)
+    args = ap.parse_args()
+
+    run_block, base, (T, n_inner) = build_run_block(family=args.family)
 
     print("== compiling (once, AOT) ==", flush=True)
     jitted, ca = compile_once(run_block, base)
@@ -110,7 +134,9 @@ def main():
     print(f"steady state: {fps:.1f} fps, {tflops:.1f} TFLOP/s, "
           f"MFU {100 * tflops / 197:.1f}% of v5e bf16 peak", flush=True)
 
-    trace_dir = "/tmp/headline_trace"
+    trace_dir = args.trace_dir or (
+        "/tmp/headline_trace" if args.family == "hrnet"
+        else f"/tmp/{args.family}_trace")
     os.system(f"rm -rf {trace_dir}")
     jax.profiler.start_trace(trace_dir)
     acc = jnp.zeros(())

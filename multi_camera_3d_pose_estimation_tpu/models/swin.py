@@ -116,6 +116,11 @@ class WindowAttention(nn.Module):
     window: int
     shift: int = 0
     dtype: Any = jnp.bfloat16
+    # Opt-in Pallas fused attention core (ops/pallas/window_attention.py):
+    # scores+bias+mask+softmax+AV stay VMEM-resident instead of
+    # round-tripping the (B·nW, heads, w², w²) tensor through HBM.  Same
+    # parameters, same numerics (f32 score accumulation/softmax).
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -151,25 +156,34 @@ class WindowAttention(nn.Module):
             3 * C, dtype=self.dtype, param_dtype=jnp.float32, name="qkv"
         )(xw)
         n = win * win
-        qkv = qkv.reshape(-1, n, 3, self.heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B·nW, n, h, d)
-
-        attn = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) * (head_dim ** -0.5)
         bias = table[_rel_position_index(win)]  # (n, n, heads) f32
-        attn = attn + bias.transpose(2, 0, 1)[None]
-        if shift:
-            mask = jnp.asarray(_shift_mask(Hp, Wp, win, shift))  # (nW, n, n)
-            nw = mask.shape[0]
-            attn = attn.reshape(-1, nw, self.heads, n, n) + mask[None, :, None]
-            attn = attn.reshape(-1, self.heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        if self.use_pallas:
+            from ..ops.pallas.window_attention import fused_window_attention
 
-        out = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
-        out = out.reshape(-1, n, C)
+            mask = (jnp.asarray(_shift_mask(Hp, Wp, win, shift))
+                    if shift else None)
+            out = fused_window_attention(
+                qkv, bias.transpose(2, 0, 1), mask, heads=self.heads
+            )
+        else:
+            qkv = qkv.reshape(-1, n, 3, self.heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B·nW, n, h, d)
+
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            ) * (head_dim ** -0.5)
+            attn = attn + bias.transpose(2, 0, 1)[None]
+            if shift:
+                mask = jnp.asarray(_shift_mask(Hp, Wp, win, shift))  # (nW, n, n)
+                nw = mask.shape[0]
+                attn = attn.reshape(-1, nw, self.heads, n, n) + mask[None, :, None]
+                attn = attn.reshape(-1, self.heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+
+            out = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn, v, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
+            out = out.reshape(-1, n, C)
         out = nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32, name="proj")(out)
 
         out = _window_reverse(out, win, B, Hp, Wp)
@@ -186,6 +200,7 @@ class SwinBlock(nn.Module):
     shift: int = 0
     mlp_ratio: int = 4
     dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -193,7 +208,8 @@ class SwinBlock(nn.Module):
         ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         y = nn.LayerNorm(**ln, name="norm1")(x)
         y = WindowAttention(
-            self.heads, self.window, self.shift, dtype=self.dtype, name="attn"
+            self.heads, self.window, self.shift, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn"
         )(y)
         x = x + y
         y = nn.LayerNorm(**ln, name="norm2")(x)
@@ -245,6 +261,7 @@ class SwinTransformer(nn.Module):
 
     cfg: Any = None
     dtype: Any = jnp.bfloat16
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -278,6 +295,7 @@ class SwinTransformer(nn.Module):
                 x = SwinBlock(
                     heads[i], win, shift=(win // 2) if j % 2 else 0,
                     mlp_ratio=mlp_ratio, dtype=self.dtype,
+                    use_pallas=self.use_pallas_attention,
                     name=f"stage_{i}_block_{j}",
                 )(x)
             if i < len(depths) - 1:
@@ -336,6 +354,7 @@ class SwinPose(nn.Module):
     num_joints: int = 17
     cfg: Any = None
     dtype: Any = jnp.bfloat16
+    use_pallas_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
