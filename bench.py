@@ -186,22 +186,26 @@ def bench_simcc():
     }))
 
 
-def bench_swin():
+def bench_swin(use_pallas_attention: bool = False):
     """Swin-B 2D+triangulation throughput — the reference's *named*
     flagship checkpoint (`coco_swin-b`, examples/model_paths.yaml:9-12;
     MMPose td-hm_swin-b-p4-w7 at 256x192).  Same jitted pipeline as the
     headline with the Swin backbone swapped in (window attention = pure
-    reshape+matmul on the MXU, models/swin.py)."""
+    reshape+matmul on the MXU, models/swin.py).  ``swin_pallas`` runs the
+    identical pipeline with the fused window-attention kernel
+    (ops/pallas/window_attention.py) for the A/B."""
     _ensure_backend()
     from __graft_entry__ import _build_pipeline
     from multi_camera_3d_pose_estimation_tpu.models import SWIN_B
 
     T, C, H, W = 128, 2, 256, 256  # ~3.4x HRNet-W32 GFLOPs/crop: smaller block
     frames_shape = (T, C, H, W, 3)
-    pipe = _build_pipeline(SWIN_B, (192, 256), frames_shape, family="swin")
+    pipe = _build_pipeline(SWIN_B, (192, 256), frames_shape, family="swin",
+                           use_pallas_attention=use_pallas_attention)
     fps = _time_pipeline(pipe, frames_shape)
+    tag = " + Pallas window attention" if use_pallas_attention else ""
     print(json.dumps({
-        "metric": "2-cam Swin-B 2D+triangulation (reference flagship)",
+        "metric": f"2-cam Swin-B 2D+triangulation (reference flagship){tag}",
         "value": round(fps, 2), "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 1000.0, 4),
     }))
@@ -435,6 +439,7 @@ if __name__ == "__main__":
         "refinement": bench_refinement,        # config 4
         "multiclip": bench_multiclip,          # config 5
         "swin": bench_swin,                    # reference's named flagship
+        "swin_pallas": lambda: bench_swin(True),  # + fused window attention
         "stream": bench_stream,                # video-in -> 3D-out e2e
         "detector": bench_detector,            # fused detection cost
     }[cfg]()

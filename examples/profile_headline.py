@@ -29,7 +29,8 @@ import numpy as np
 
 
 def build_run_block(n_inner: int = 5, use_pallas_stage1: bool | None = None,
-                    family: str = "hrnet", T: int | None = None):
+                    family: str = "hrnet", T: int | None = None,
+                    use_pallas_attention: bool = False):
     """The bench.py::run_block program, verbatim shapes.
 
     ``use_pallas_stage1`` defaults to bench.py's own policy (on iff the
@@ -58,7 +59,8 @@ def build_run_block(n_inner: int = 5, use_pallas_stage1: bool | None = None,
                                use_pallas_stage1=use_pallas_stage1)
     elif family == "swin":
         pipe = _build_pipeline(SWIN_B, (192, 256), frames_shape,
-                               family="swin")
+                               family="swin",
+                               use_pallas_attention=use_pallas_attention)
     elif family == "rtmpose":
         pipe = _build_pipeline(RTMPOSE_T, (192, 256), frames_shape,
                                family="rtmpose")
@@ -107,9 +109,12 @@ def main():
     ap.add_argument("--family", choices=("hrnet", "swin", "rtmpose"),
                     default="hrnet")
     ap.add_argument("--trace_dir", default=None)
+    ap.add_argument("--pallas_attention", action="store_true",
+                    help="swin family: fused window-attention kernel")
     args = ap.parse_args()
 
-    run_block, base, (T, n_inner) = build_run_block(family=args.family)
+    run_block, base, (T, n_inner) = build_run_block(
+        family=args.family, use_pallas_attention=args.pallas_attention)
 
     print("== compiling (once, AOT) ==", flush=True)
     jitted, ca = compile_once(run_block, base)
