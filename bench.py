@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -111,27 +112,56 @@ def _time_pipeline(pipe, frames_shape, n_inner: int = 5, n_outer: int = 6):
     bboxes = jax.device_put(
         jnp.tile(jnp.asarray([0.0, 0.0, float(W), float(H)], jnp.float32), (T, C, 1))
     )
+    # Closure-captured weights become constants of the serialized program:
+    # XLA then pre-folds BN scales into conv weights (~3% on the HRNet
+    # headline) — but the tunneled remote-compile endpoint rejects bodies
+    # over ~its buffer limit (HTTP 413), which Swin-B's 88M params
+    # (~350 MB f32) exceed.  Auto-select: constants when the tree is
+    # small enough to upload, device-resident jit arguments otherwise.
     variables = pipe.estimator.variables
     det_vars = pipe.det_variables if pipe._has_detector else None
+    n_bytes = sum(np.asarray(x).nbytes
+                  for x in jax.tree.leaves((variables, det_vars)))
+    weights_as_args = n_bytes > 200 * 1024 * 1024
 
-    @jax.jit
-    def run_block(frames, acc0):
-        def body(acc, _):
-            out = pipe._run_detect(variables, det_vars, frames + acc * 1e-9,
-                                   bboxes, pipe.cam_stack)
-            return acc + jnp.nansum(out["kpts_3d"]), None
+    if weights_as_args:
+        variables = jax.device_put(variables)
+        det_vars = jax.device_put(det_vars) if det_vars is not None else None
 
-        acc, _ = jax.lax.scan(body, acc0, None, length=n_inner)
-        return acc
+        @jax.jit
+        def run_block(variables, det_vars, frames, acc0):
+            def body(acc, _):
+                out = pipe._run_detect(variables, det_vars,
+                                       frames + acc * 1e-9,
+                                       bboxes, pipe.cam_stack)
+                return acc + jnp.nansum(out["kpts_3d"]), None
+
+            acc, _ = jax.lax.scan(body, acc0, None, length=n_inner)
+            return acc
+
+        call = partial(run_block, variables, det_vars)
+    else:
+        @jax.jit
+        def run_block(frames, acc0):
+            def body(acc, _):
+                out = pipe._run_detect(variables, det_vars,
+                                       frames + acc * 1e-9,
+                                       bboxes, pipe.cam_stack)
+                return acc + jnp.nansum(out["kpts_3d"]), None
+
+            acc, _ = jax.lax.scan(body, acc0, None, length=n_inner)
+            return acc
+
+        call = run_block
 
     # Warmup / compile (forced fetch).
-    float(run_block(base, jnp.zeros(())))
+    float(call(base, jnp.zeros(())))
 
     # Timed steady state, chained outer calls, value-forced at the end.
     acc = jnp.zeros(())
     t0 = time.perf_counter()
     for _ in range(n_outer):
-        acc = run_block(base, acc)
+        acc = call(base, acc)
     float(acc)
     dt = time.perf_counter() - t0
     return (T * n_inner * n_outer) / dt  # multi-camera frames per sec
@@ -186,7 +216,7 @@ def bench_simcc():
     }))
 
 
-def bench_swin(use_pallas_attention: bool = False):
+def bench_swin(use_pallas_attention: bool | None = None):
     """Swin-B 2D+triangulation throughput — the reference's *named*
     flagship checkpoint (`coco_swin-b`, examples/model_paths.yaml:9-12;
     MMPose td-hm_swin-b-p4-w7 at 256x192).  Same jitted pipeline as the
@@ -198,6 +228,11 @@ def bench_swin(use_pallas_attention: bool = False):
     from __graft_entry__ import _build_pipeline
     from multi_camera_3d_pose_estimation_tpu.models import SWIN_B
 
+    if use_pallas_attention is None:
+        # Shipped default: fused kernel on TPU (301.6 -> 400.0 fps
+        # measured, +33%); `swin_xla` keeps the einsum baseline for
+        # the A/B.  Off-TPU the kernel would run in interpret mode.
+        use_pallas_attention = _on_tpu()
     T, C, H, W = 128, 2, 256, 256  # ~3.4x HRNet-W32 GFLOPs/crop: smaller block
     frames_shape = (T, C, H, W, 3)
     pipe = _build_pipeline(SWIN_B, (192, 256), frames_shape, family="swin",
@@ -439,7 +474,8 @@ if __name__ == "__main__":
         "refinement": bench_refinement,        # config 4
         "multiclip": bench_multiclip,          # config 5
         "swin": bench_swin,                    # reference's named flagship
-        "swin_pallas": lambda: bench_swin(True),  # + fused window attention
+        "swin_pallas": lambda: bench_swin(True),   # + fused window attention
+        "swin_xla": lambda: bench_swin(False),     # einsum-attention baseline
         "stream": bench_stream,                # video-in -> 3D-out e2e
         "detector": bench_detector,            # fused detection cost
     }[cfg]()

@@ -359,7 +359,9 @@ class SwinPose(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         cfg = self.cfg or SWIN_B
-        x = SwinTransformer(cfg=cfg, dtype=self.dtype, name="backbone")(x, train)
+        x = SwinTransformer(cfg=cfg, dtype=self.dtype,
+                            use_pallas_attention=self.use_pallas_attention,
+                            name="backbone")(x, train)
         for d, ch in enumerate(cfg["deconv"]):
             x = Deconv(ch, dtype=self.dtype, name=f"deconv_{d}")(x)
             x = nn.BatchNorm(

@@ -87,8 +87,24 @@ def test_kernel_window_batching_mask_phase():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-def test_swinpose_flag_parity():
-    """Full model, flag on vs off, same variables -> same heatmaps."""
+def test_swinpose_flag_parity(monkeypatch):
+    """Full model, flag on vs off, same variables -> same heatmaps.
+
+    Also asserts the kernel is actually INVOKED when the flag is on (an
+    earlier revision silently dropped the flag at the SwinPose →
+    SwinTransformer boundary, making an output-only parity check
+    vacuous — both paths ran the einsum)."""
+    import multi_camera_3d_pose_estimation_tpu.ops.pallas.window_attention as wa
+
+    calls = []
+    orig = wa.fused_window_attention
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(wa, "fused_window_attention", counted)
+
     cfg = {"embed": 24, "depths": (1, 1), "heads": (2, 4), "window": 4,
            "mlp_ratio": 2, "deconv": (16,)}
     x = jnp.asarray(
@@ -97,8 +113,10 @@ def test_swinpose_flag_parity():
     ref_model = SwinPose(num_joints=17, cfg=cfg)
     variables = ref_model.init(jax.random.PRNGKey(0), x)
     ref = np.asarray(ref_model.apply(variables, x))
+    assert not calls, "einsum path must not touch the kernel"
     pal_model = SwinPose(num_joints=17, cfg=cfg, use_pallas_attention=True)
     got = np.asarray(pal_model.apply(variables, x))
+    assert len(calls) == 2, f"kernel not reached by the flag: {len(calls)}"
     # bf16 activations dominate the tolerance; the kernel keeps the same
     # f32 score/softmax accumulation as the einsum path.
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
