@@ -211,20 +211,20 @@ def main():
 
         from profile_headline import build_run_block, compile_once
 
-        run_block, base, (T, n_inner) = build_run_block()
+        run_block, call_args, (T, n_inner) = build_run_block()
         print("compiling (AOT, once)...", flush=True)
-        compiled, ca = compile_once(run_block, base)
+        compiled, ca = compile_once(run_block, call_args)
         hlo = compiled.as_text()
         with open(hlo_path, "w") as f:
             f.write(hlo)
 
         # Steady state (value-forced) + a fresh trace of THIS executable, so
         # the joined fusion names always match the compiled program.
-        float(compiled(base, jnp.zeros(())))
+        float(compiled(*call_args, jnp.zeros(())))
         acc = jnp.zeros(())
         t0 = time.perf_counter()
         for _ in range(6):
-            acc = compiled(base, acc)
+            acc = compiled(*call_args, acc)
         float(acc)
         dt = time.perf_counter() - t0
         fps = T * n_inner * 6 / dt
@@ -234,7 +234,7 @@ def main():
         jax.profiler.start_trace(trace_dir)
         acc = jnp.zeros(())
         for _ in range(2):
-            acc = compiled(base, acc)
+            acc = compiled(*call_args, acc)
         float(acc)
         jax.profiler.stop_trace()
 
@@ -330,8 +330,17 @@ def main():
         lines.append(f"| `{name}` | {us / 1e3:.2f} | {100 * us / total_us:.1f} "
                      f"| {cat} | {tfs} | {bs} | {cs} |")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "PROFILE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    out_path = os.path.join(repo, "PROFILE.md")
+    # Keep hand-written appendix sections (e.g. the Swin trace) across
+    # regenerations of the HRNet tables.
+    appendix = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        marker = "<!-- appendix -->"
+        if marker in prev:
+            appendix = "\n" + prev[prev.index(marker):]
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n" + appendix)
     print("wrote PROFILE.md")
     for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"{cat}: {us / 1e3:.1f} ms ({100 * us / total_us:.1f}%)")
