@@ -229,16 +229,19 @@ def bench_swin(use_pallas_attention: bool | None = None):
     from multi_camera_3d_pose_estimation_tpu.models import SWIN_B
 
     if use_pallas_attention is None:
-        # Shipped default: fused kernel on TPU (301.6 -> 400.0 fps
-        # measured, +33%); `swin_xla` keeps the einsum baseline for
-        # the A/B.  Off-TPU the kernel would run in interpret mode.
+        # Shipped default: packed kernel on TPU (einsum 301.4 ->
+        # per-window 399.2 -> packed 454.8 fps, same-session A/B);
+        # `swin_loop`/`swin_xla` keep the other variants for the A/B.
+        # Off-TPU the kernel would run in interpret mode.
         use_pallas_attention = _on_tpu()
     T, C, H, W = 128, 2, 256, 256  # ~3.4x HRNet-W32 GFLOPs/crop: smaller block
     frames_shape = (T, C, H, W, 3)
     pipe = _build_pipeline(SWIN_B, (192, 256), frames_shape, family="swin",
                            use_pallas_attention=use_pallas_attention)
     fps = _time_pipeline(pipe, frames_shape)
-    tag = " + Pallas window attention" if use_pallas_attention else ""
+    tag = {True: " + Pallas packed window attention",
+           "loop": " + Pallas per-window attention",
+           False: ""}[use_pallas_attention]
     print(json.dumps({
         "metric": f"2-cam Swin-B 2D+triangulation (reference flagship){tag}",
         "value": round(fps, 2), "unit": "frames/sec/chip",
@@ -474,7 +477,8 @@ if __name__ == "__main__":
         "refinement": bench_refinement,        # config 4
         "multiclip": bench_multiclip,          # config 5
         "swin": bench_swin,                    # reference's named flagship
-        "swin_pallas": lambda: bench_swin(True),   # + fused window attention
+        "swin_pallas": lambda: bench_swin(True),   # + packed window attention
+        "swin_loop": lambda: bench_swin("loop"),   # per-window kernel A/B
         "swin_xla": lambda: bench_swin(False),     # einsum-attention baseline
         "stream": bench_stream,                # video-in -> 3D-out e2e
         "detector": bench_detector,            # fused detection cost

@@ -25,9 +25,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from multi_camera_3d_pose_estimation_tpu.models.swin import _shift_mask
+    from multi_camera_3d_pose_estimation_tpu.models.swin import (
+        _shift_mask,
+        _shift_regions,
+    )
     from multi_camera_3d_pose_estimation_tpu.ops.pallas.window_attention import (
         fused_window_attention,
+        packed_window_attention,
     )
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 256  # crops per block
@@ -41,10 +45,13 @@ def main():
         (8, 6, 1024, 32, 2),
     ]
     rng = np.random.default_rng(0)
-    total = {"einsum": 0.0, "pallas": 0.0}
+    wbs = (4, 8, 16)
+    variants = ["einsum", "loop"] + [f"packed{w}" for w in wbs]
+    total = {v: 0.0 for v in variants}
     print(f"B={B} crops; per-layer core times (shifted-mask variant)")
-    print("| stage (HxW, C, heads) | einsum ms | pallas ms | speedup | layers |")
-    print("|---|---|---|---|---|")
+    print("| stage (HxW, C, heads) | " + " ms | ".join(variants)
+          + " ms | layers |")
+    print("|---" * (len(variants) + 2) + "|")
     for H, W, C, heads, layers in stages:
         Hp = -(-H // win) * win
         Wp = -(-W // win) * win
@@ -54,6 +61,7 @@ def main():
         qkv = jnp.asarray(rng.normal(size=(Bw, n, 3 * C)), jnp.bfloat16)
         bias = jnp.asarray(rng.normal(size=(heads, n, n)), jnp.float32)
         mask = jnp.asarray(_shift_mask(Hp, Wp, win, win // 2))
+        regions = _shift_regions(Hp, Wp, win, win // 2)
 
         @jax.jit
         def einsum_path(qkv, bias, mask, heads=heads, d=d, nW=nW):
@@ -74,6 +82,14 @@ def main():
             lambda qkv, bias, mask, heads=heads: fused_window_attention(
                 qkv, bias, mask, heads=heads))
 
+        def make_packed(wb, heads=heads, regions=regions, Bw=Bw):
+            if Bw % wb or (wb * n) % 8:
+                return None
+            return jax.jit(
+                lambda qkv, bias, mask, heads=heads, wb=wb:
+                packed_window_attention(qkv, bias, regions, heads=heads,
+                                        wb=wb))
+
         def timeit(fn, iters=20):
             out = fn(qkv, bias, mask)
             float(jnp.sum(out[0, 0].astype(jnp.float32)))  # warm/compile
@@ -88,14 +104,20 @@ def main():
             float(acc)
             return (time.perf_counter() - t0) / iters * 1e3
 
-        te = timeit(einsum_path)
-        tp = timeit(pallas_path)
-        total["einsum"] += te * layers
-        total["pallas"] += tp * layers
-        print(f"| {H}x{W}, C={C}, h={heads} | {te:.3f} | {tp:.3f} "
-              f"| {te / tp:.2f}x | {layers} |")
-    print(f"\nblock totals (all layers, shifted variant both halves): "
-          f"einsum {total['einsum']:.1f} ms vs pallas {total['pallas']:.1f} ms")
+        times = {"einsum": timeit(einsum_path), "loop": timeit(pallas_path)}
+        for w in wbs:
+            fn = make_packed(w)
+            try:
+                times[f"packed{w}"] = (timeit(fn) if fn is not None
+                                       else float("nan"))
+            except Exception:  # VMEM OOM at big heads·(wb·n)² — record n/a
+                times[f"packed{w}"] = float("nan")
+        for v in variants:
+            total[v] += times[v] * layers
+        cells = " | ".join(f"{times[v]:.3f}" for v in variants)
+        print(f"| {H}x{W}, C={C}, h={heads} | {cells} | {layers} |")
+    print("\nblock totals (all layers, shifted variant both halves): "
+          + ", ".join(f"{v} {total[v]:.1f} ms" for v in variants))
 
 
 if __name__ == "__main__":

@@ -121,6 +121,7 @@ def build_estimator(
     num_joints: int = 17,
     seed: int = 0,
     dtype=jnp.bfloat16,
+    use_pallas_attention: bool | str | None = None,
     **estimator_kwargs,
 ) -> TopDownEstimator:
     """Construct a ready `TopDownEstimator` by registry name.
@@ -128,15 +129,26 @@ def build_estimator(
     ``checkpoint``: path to an .npz/.msgpack of our parameter pytree, or a
     torch .pth for the hrnet family (converted on load).  None → random
     init (pipeline-correct; accuracy requires trained weights).
+    ``use_pallas_attention`` (swin family only): window-attention kernel
+    selection — None (default) picks the packed Pallas kernel on TPU and
+    the XLA einsum path elsewhere; True/"loop"/False force a variant
+    (models/swin.py::WindowAttention).
     ``estimator_kwargs`` pass through to `TopDownEstimator` (e.g.
     ``decode_mode="dark"``, ``flip_test=True``).
     """
     spec = MODEL_REGISTRY[resolve_model_name(name)]
     in_w, in_h = spec["input_size"]
+    if use_pallas_attention is not None and spec["family"] != "swin":
+        raise ValueError(
+            f"use_pallas_attention applies to the swin family only, not "
+            f"'{name}' ({spec['family']})")
     if spec["family"] == "hrnet":
         model = HRNet(num_joints=num_joints, cfg=spec["cfg"], dtype=dtype)
     elif spec["family"] == "swin":
-        model = SwinPose(num_joints=num_joints, cfg=spec["cfg"], dtype=dtype)
+        if use_pallas_attention is None:
+            use_pallas_attention = jax.default_backend() == "tpu"
+        model = SwinPose(num_joints=num_joints, cfg=spec["cfg"], dtype=dtype,
+                         use_pallas_attention=use_pallas_attention)
     else:
         model = RTMPose(
             num_joints=num_joints,

@@ -71,13 +71,12 @@ def _rel_position_index(w: int) -> np.ndarray:
     return rel.sum(-1)
 
 
-def _shift_mask(hp: int, wp: int, win: int, shift: int) -> np.ndarray:
-    """(nW, w², w²) additive attention mask for shifted windows.
+def _shift_regions(hp: int, wp: int, win: int, shift: int) -> np.ndarray:
+    """(nW, w²) per-token region ids for the shifted-window mask.
 
     Built on the PADDED (hp, wp) grid exactly as the official backbone
     does: three h-slices × three w-slices label the wrapped regions after
-    the cyclic roll; tokens from different regions may not attend
-    (additive −100 ≈ −inf in softmax after exp).
+    the cyclic roll; tokens from different regions may not attend.
     """
     img = np.zeros((hp, wp), np.int32)
     cnt = 0
@@ -86,7 +85,13 @@ def _shift_mask(hp: int, wp: int, win: int, shift: int) -> np.ndarray:
             img[hs, ws] = cnt
             cnt += 1
     m = img.reshape(hp // win, win, wp // win, win)
-    m = m.transpose(0, 2, 1, 3).reshape(-1, win * win)  # (nW, w²)
+    return m.transpose(0, 2, 1, 3).reshape(-1, win * win)  # (nW, w²)
+
+
+def _shift_mask(hp: int, wp: int, win: int, shift: int) -> np.ndarray:
+    """(nW, w², w²) additive attention mask for shifted windows
+    (−100 ≈ −inf in softmax) from the pairwise region-id comparison."""
+    m = _shift_regions(hp, wp, win, shift)
     return np.where(m[:, None, :] != m[:, :, None], -100.0, 0.0).astype(np.float32)
 
 
@@ -120,7 +125,9 @@ class WindowAttention(nn.Module):
     # scores+bias+mask+softmax+AV stay VMEM-resident instead of
     # round-tripping the (B·nW, heads, w², w²) tensor through HBM.  Same
     # parameters, same numerics (f32 score accumulation/softmax).
-    use_pallas: bool = False
+    # True / "packed" → the window-packed kernel (one MXU issue per WB
+    # windows); "loop" → the per-window kernel (kept for A/B).
+    use_pallas: bool | str = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -157,13 +164,21 @@ class WindowAttention(nn.Module):
         )(xw)
         n = win * win
         bias = table[_rel_position_index(win)]  # (n, n, heads) f32
-        if self.use_pallas:
+        if self.use_pallas == "loop":
             from ..ops.pallas.window_attention import fused_window_attention
 
             mask = (jnp.asarray(_shift_mask(Hp, Wp, win, shift))
                     if shift else None)
             out = fused_window_attention(
                 qkv, bias.transpose(2, 0, 1), mask, heads=self.heads
+            )
+        elif self.use_pallas:
+            from ..ops.pallas.window_attention import packed_window_attention
+
+            regions = (_shift_regions(Hp, Wp, win, shift)
+                       if shift else None)
+            out = packed_window_attention(
+                qkv, bias.transpose(2, 0, 1), regions, heads=self.heads
             )
         else:
             qkv = qkv.reshape(-1, n, 3, self.heads, head_dim)
@@ -200,7 +215,7 @@ class SwinBlock(nn.Module):
     shift: int = 0
     mlp_ratio: int = 4
     dtype: Any = jnp.bfloat16
-    use_pallas: bool = False
+    use_pallas: bool | str = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -261,7 +276,7 @@ class SwinTransformer(nn.Module):
 
     cfg: Any = None
     dtype: Any = jnp.bfloat16
-    use_pallas_attention: bool = False
+    use_pallas_attention: bool | str = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -354,7 +369,7 @@ class SwinPose(nn.Module):
     num_joints: int = 17
     cfg: Any = None
     dtype: Any = jnp.bfloat16
-    use_pallas_attention: bool = False
+    use_pallas_attention: bool | str = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

@@ -30,14 +30,16 @@ w-windows) makes window-in-image periodic in the flattened window axis.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_window_attention"]
+__all__ = ["fused_window_attention", "packed_window_attention"]
 
 
 def _attn_kernel(qkv_ref, bias_ref, mask_ref, out_ref, *, heads: int,
@@ -130,3 +132,171 @@ def fused_window_attention(qkv: jax.Array, bias: jax.Array,
         ),
         interpret=interpret,
     )(qkv, bias, mask)
+
+
+# ---------------------------------------------------------------------------
+# Packed variant: amortize MXU issue latency across windows.
+#
+# The per-window kernel above is bound by MXU ISSUE LATENCY, not bandwidth
+# or flops: the device trace (PROFILE.md, Swin-B appendix) shows ~70-150 ns
+# per (49,32)@(32,49) dot REGARDLESS of stage shape — each sub-tile matmul
+# pays a full systolic-array traversal.  This variant stacks WB windows
+# along the row axis and issues ONE (WB·n, d)@(d, WB·n) score matmul and
+# ONE (WB·n, WB·n)@(WB·n, d) context matmul per head per program — WB×
+# fewer issues at WB× wasted flops (free: the kernel runs at ~1-3% of the
+# MXU flop peak).
+#
+# Correctness of the packing: cross-window score blocks are garbage, so a
+# precomputed additive tensor T[h] = tile(bias_h) + (−1e5 off the window-
+# diagonal) is added before softmax; exp(−1e5) underflows to EXACTLY 0.0
+# in float32, so the packed probability matrix is exactly block-diagonal
+# and the stacked AV matmul reproduces the per-window result bit-for-bit
+# (same f32 accumulate / f32 softmax / bf16 probabilities as the einsum
+# path).  The shifted-window region mask is applied as a rank-1 broadcast
+# comparison of per-token region ids (r_row != r_col → −100), which equals
+# the (nW, n, n) mask of models/swin.py::_shift_mask on the diagonal
+# blocks and is harmless off-diagonal (already −1e5 there).
+#
+# Layout: qkv is passed FLATTENED to (Bw·n, 3C) so each program's block is
+# (WB·n, 3C) — for n=49, WB∈{2,4,8} gives 8-aligned sublane counts and no
+# in-kernel window-merge reshapes; q/k/v head slices are static lane
+# slices.  T rides in VMEM once (constant index map → no per-program DMA);
+# the region-id patterns are tiny (nW/gcd(WB,nW) distinct row/col vectors,
+# block-indexed by `(i·WB mod nW) // gcd`).
+# ---------------------------------------------------------------------------
+
+
+def _packed_kernel(qkv_ref, t_ref, rrow_ref, rcol_ref, out_ref, *,
+                   heads: int, C: int, scale: float, shifted: bool):
+    f32 = jnp.float32
+    d = C // heads
+    for h in range(heads):
+        q = qkv_ref[:, h * d:(h + 1) * d]
+        k = qkv_ref[:, C + h * d:C + (h + 1) * d]
+        v = qkv_ref[:, 2 * C + h * d:2 * C + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        ) * scale
+        s = s + t_ref[h]
+        if shifted:
+            s = s + jnp.where(rrow_ref[0] != rcol_ref[0], f32(-100.0),
+                              f32(0.0))
+        p = jax.nn.softmax(s, axis=-1).astype(qkv_ref.dtype)
+        o = jnp.dot(p, v, preferred_element_type=f32)
+        out_ref[:, h * d:(h + 1) * d] = o.astype(out_ref.dtype)
+
+
+def packed_window_attention(qkv: jax.Array, bias: jax.Array,
+                            regions: np.ndarray | None, heads: int,
+                            wb: int | None = None,
+                            interpret: bool | None = None) -> jax.Array:
+    """Window attention context, WB windows packed per MXU issue.
+
+    Not independently jitted: callers trace it inside their own jit (the
+    region-id table is trace-time numpy geometry, not a device array).
+
+    qkv:     (Bw, n, 3C) fused projection output (see
+             ``fused_window_attention``).
+    bias:    (heads, n, n) float32 relative-position bias.
+    regions: (nW, n) integer region ids (``models.swin._shift_regions``),
+             host numpy, or None for unshifted layers.  ``Bw % nW == 0``.
+    wb:      windows packed per program (must divide Bw); default picks
+             the largest of 8/4/2 whose additive tensor fits ~12 MB VMEM.
+    Returns (Bw, n, C) in qkv.dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Bw, n, C3 = qkv.shape
+    C = C3 // 3
+    if C % heads:
+        raise ValueError(f"C={C} not divisible by heads={heads}")
+    scale = float((C // heads) ** -0.5)
+    shifted = regions is not None
+    nW = int(regions.shape[0]) if shifted else 1
+    if shifted and Bw % nW:
+        raise ValueError(f"Bw={Bw} not a multiple of nW={nW}")
+    # Mosaic block constraint: the sublane (rows) dim of every block must
+    # be a multiple of 8 — for n=49 that means wb ∈ {8, 16, …}.
+    if wb is None:
+        # 8 first: both microbench runs had wb=8 beating wb=16 at the
+        # Swin-B stage-0/1 shapes (bigger packs pay p× score/softmax
+        # waste without further issue savings — see PROFILE.md).
+        for cand in (8, 16, 4, 2):
+            if (Bw % cand == 0 and (cand * n) % 8 == 0
+                    and heads * (cand * n) ** 2 * 4 <= 32 * 2 ** 20):
+                wb = cand
+                break
+        else:
+            # No valid packing (tiny Bw or huge heads·n): per-window kernel.
+            mask = None
+            if shifted:
+                r = np.asarray(regions)
+                mask = jnp.asarray(np.where(
+                    r[:, None, :] != r[:, :, None], -100.0, 0.0
+                ).astype(np.float32))
+            return fused_window_attention(qkv, bias, mask, heads=heads,
+                                          interpret=interpret)
+    elif Bw % wb:
+        raise ValueError(f"wb={wb} must divide Bw={Bw}")
+    elif (wb * n) % 8 and not interpret:
+        raise ValueError(
+            f"wb·n = {wb * n} must be a multiple of 8 (Mosaic sublane "
+            f"block constraint)")
+    WBn = wb * n
+
+    # Additive tensor: relative-position bias tiled across window blocks
+    # (off-diagonal copies are dead — see −1e5 below) + the block-diagonal
+    # packing mask.
+    offdiag = np.full((WBn, WBn), -1e5, np.float32)
+    for j in range(wb):
+        offdiag[j * n:(j + 1) * n, j * n:(j + 1) * n] = 0.0
+    t = jnp.broadcast_to(
+        bias.astype(jnp.float32)[:, None, :, None, :], (heads, wb, n, wb, n)
+    ).reshape(heads, WBn, WBn) + jnp.asarray(offdiag)
+
+    # Region-id row/col vectors per packing pattern: program i covers
+    # windows (i·wb + j) mod nW, so the slot→window map depends only on
+    # (i·wb) mod nW — nW/gcd distinct patterns, cycled by the index map.
+    if shifted:
+        g = math.gcd(wb, nW)
+        npat = nW // g
+        regs = np.asarray(regions, np.float32)
+        rpat = np.stack([
+            np.concatenate([regs[(p * g + j) % nW] for j in range(wb)])
+            for p in range(npat)
+        ])  # (npat, WBn)
+        rrow = jnp.asarray(rpat[:, :, None])
+        rcol = jnp.asarray(rpat[:, None, :])
+
+        def r_index(i):
+            return (((i * wb) % nW) // g, 0, 0)
+    else:
+        rrow = jnp.zeros((1, WBn, 1), jnp.float32)
+        rcol = jnp.zeros((1, 1, WBn), jnp.float32)
+
+        def r_index(i):
+            return (0, 0, 0)
+
+    kernel = partial(_packed_kernel, heads=heads, C=C, scale=scale,
+                     shifted=shifted)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bw * n, C), qkv.dtype),
+        grid=(Bw // wb,),
+        in_specs=[
+            pl.BlockSpec((WBn, C3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((heads, WBn, WBn), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WBn, 1), r_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, WBn), r_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((WBn, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qkv.reshape(Bw * n, C3), t, rrow, rcol)
+    return out.reshape(Bw, n, C)

@@ -15,9 +15,11 @@ from multi_camera_3d_pose_estimation_tpu.models.swin import (
     SwinPose,
     _rel_position_index,
     _shift_mask,
+    _shift_regions,
 )
 from multi_camera_3d_pose_estimation_tpu.ops.pallas.window_attention import (
     fused_window_attention,
+    packed_window_attention,
 )
 
 
@@ -87,6 +89,49 @@ def test_kernel_window_batching_mask_phase():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("shift", [False, True])
+@pytest.mark.parametrize("wb", [1, 2, 4])
+def test_packed_kernel_matches_einsum_oracle(shift, wb):
+    """Packed kernel vs the einsum oracle, incl. wb values that do not
+    divide nW (pattern cycling) and multi-window programs."""
+    rng = np.random.default_rng(3)
+    win, heads, C = 4, 2, 32
+    n = win * win
+    Hp = Wp = 3 * win  # nW = 9
+    nW = (Hp // win) * (Wp // win)
+    B = 4
+    Bw = B * nW  # 36 windows: wb=4 -> 9 programs, gcd(4,9)=1 -> 9 patterns
+    qkv = jnp.asarray(rng.normal(size=(Bw, n, 3 * C)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(heads, n, n)), jnp.float32)
+    if shift:
+        regions = _shift_regions(Hp, Wp, win, win // 2)
+        mask = jnp.asarray(_shift_mask(Hp, Wp, win, win // 2))
+    else:
+        regions = mask = None
+
+    got = np.asarray(packed_window_attention(
+        qkv, bias, regions, heads=heads, wb=wb, interpret=True))
+    want = _oracle(qkv, bias, mask, heads)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_kernel_exact_block_diagonal():
+    """exp(−1e5) must underflow to exactly 0 so cross-window garbage
+    cannot leak through the stacked AV matmul: two windows with wildly
+    different value scales must not bleed into each other."""
+    rng = np.random.default_rng(4)
+    win, heads, C = 2, 1, 8
+    n = win * win
+    Bw = 2
+    qkv = np.asarray(rng.normal(size=(Bw, n, 3 * C)), np.float32)
+    qkv[1, :, 2 * C:] *= 1e4  # huge v in window 1
+    bias = jnp.zeros((heads, n, n), jnp.float32)
+    got = np.asarray(packed_window_attention(
+        jnp.asarray(qkv), bias, None, heads=heads, wb=2, interpret=True))
+    want = _oracle(jnp.asarray(qkv), bias, None, heads)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_swinpose_flag_parity(monkeypatch):
     """Full model, flag on vs off, same variables -> same heatmaps.
 
@@ -96,14 +141,20 @@ def test_swinpose_flag_parity(monkeypatch):
     vacuous — both paths ran the einsum)."""
     import multi_camera_3d_pose_estimation_tpu.ops.pallas.window_attention as wa
 
-    calls = []
-    orig = wa.fused_window_attention
+    calls = {"loop": [], "packed": []}
+    orig_loop = wa.fused_window_attention
+    orig_packed = wa.packed_window_attention
 
-    def counted(*a, **k):
-        calls.append(1)
-        return orig(*a, **k)
+    def counted_loop(*a, **k):
+        calls["loop"].append(1)
+        return orig_loop(*a, **k)
 
-    monkeypatch.setattr(wa, "fused_window_attention", counted)
+    def counted_packed(*a, **k):
+        calls["packed"].append(1)
+        return orig_packed(*a, **k)
+
+    monkeypatch.setattr(wa, "fused_window_attention", counted_loop)
+    monkeypatch.setattr(wa, "packed_window_attention", counted_packed)
 
     cfg = {"embed": 24, "depths": (1, 1), "heads": (2, 4), "window": 4,
            "mlp_ratio": 2, "deconv": (16,)}
@@ -113,10 +164,18 @@ def test_swinpose_flag_parity(monkeypatch):
     ref_model = SwinPose(num_joints=17, cfg=cfg)
     variables = ref_model.init(jax.random.PRNGKey(0), x)
     ref = np.asarray(ref_model.apply(variables, x))
-    assert not calls, "einsum path must not touch the kernel"
+    assert not calls["loop"] and not calls["packed"], \
+        "einsum path must not touch the kernels"
+    # bf16 activations dominate the tolerance; both kernels keep the same
+    # f32 score/softmax accumulation as the einsum path.
     pal_model = SwinPose(num_joints=17, cfg=cfg, use_pallas_attention=True)
     got = np.asarray(pal_model.apply(variables, x))
-    assert len(calls) == 2, f"kernel not reached by the flag: {len(calls)}"
-    # bf16 activations dominate the tolerance; the kernel keeps the same
-    # f32 score/softmax accumulation as the einsum path.
+    assert len(calls["packed"]) == 2, \
+        f"packed kernel not reached by the flag: {calls}"
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
+
+    loop_model = SwinPose(num_joints=17, cfg=cfg, use_pallas_attention="loop")
+    got_loop = np.asarray(loop_model.apply(variables, x))
+    assert len(calls["loop"]) == 2, \
+        f"loop kernel not reached by the flag: {calls}"
+    np.testing.assert_allclose(got_loop, ref, rtol=0, atol=2e-2)
