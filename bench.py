@@ -241,6 +241,7 @@ def bench_swin(use_pallas_attention: bool | None = None):
     fps = _time_pipeline(pipe, frames_shape)
     tag = {True: " + Pallas packed window attention",
            "loop": " + Pallas per-window attention",
+           "block": " + Pallas fused whole-block",
            False: ""}[use_pallas_attention]
     print(json.dumps({
         "metric": f"2-cam Swin-B 2D+triangulation (reference flagship){tag}",
@@ -478,6 +479,7 @@ if __name__ == "__main__":
         "multiclip": bench_multiclip,          # config 5
         "swin": bench_swin,                    # reference's named flagship
         "swin_pallas": lambda: bench_swin(True),   # + packed window attention
+        "swin_block": lambda: bench_swin("block"),  # + fused whole-block kernel
         "swin_loop": lambda: bench_swin("loop"),   # per-window kernel A/B
         "swin_xla": lambda: bench_swin(False),     # einsum-attention baseline
         "stream": bench_stream,                # video-in -> 3D-out e2e

@@ -131,8 +131,9 @@ def build_estimator(
     init (pipeline-correct; accuracy requires trained weights).
     ``use_pallas_attention`` (swin family only): window-attention kernel
     selection — None (default) picks the packed Pallas kernel on TPU and
-    the XLA einsum path elsewhere; True/"loop"/False force a variant
-    (models/swin.py::WindowAttention).
+    the XLA einsum path elsewhere; True/"block"/"loop"/False force a
+    variant ("block" = the whole-SwinBlock fused kernel,
+    ops/pallas/swin_block.py; see models/swin.py::WindowAttention).
     ``estimator_kwargs`` pass through to `TopDownEstimator` (e.g.
     ``decode_mode="dark"``, ``flip_test=True``).
     """

@@ -221,22 +221,54 @@ class SwinBlock(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         C = x.shape[-1]
         ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
-        y = nn.LayerNorm(**ln, name="norm1")(x)
+        # "block": run the WHOLE block as one Pallas program set
+        # (ops/pallas/swin_block.py) when the stage's weights + packing
+        # tensor fit VMEM; params are still declared by the flax
+        # submodules on a dummy slab so the variable tree (and thus
+        # checkpoints/converters) is identical, and they ride into the
+        # kernel as jit arguments via self.variables (NOT closure
+        # constants — Swin-B's 88M params would blow the remote-compile
+        # body limit, see PROFILE.md).
+        fused_wb = None
+        initializing = self.is_initializing()
+        if self.use_pallas == "block" and not initializing:
+            from ..ops.pallas.swin_block import feasible_wb
+
+            fused_wb = feasible_wb(x.shape, self.heads, self.window,
+                                   self.mlp_ratio)
+        attn_flag = self.use_pallas
+        if attn_flag == "block":
+            # Infeasible stage (or init pass) → fall back to the packed
+            # attention kernel (einsum at init: params are flag-
+            # independent and the kernel has nothing to measure there).
+            attn_flag = False if initializing else True
+        xin = (x[:1, :self.window, :self.window, :]
+               if fused_wb is not None else x)
+        y = nn.LayerNorm(**ln, name="norm1")(xin)
         y = WindowAttention(
             self.heads, self.window, self.shift, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn"
+            use_pallas=False if fused_wb is not None else attn_flag,
+            name="attn",
         )(y)
-        x = x + y
-        y = nn.LayerNorm(**ln, name="norm2")(x)
-        y = nn.Dense(
+        y = xin + y
+        y2 = nn.LayerNorm(**ln, name="norm2")(y)
+        y2 = nn.Dense(
             self.mlp_ratio * C, dtype=self.dtype, param_dtype=jnp.float32,
             name="ffn_fc1",
-        )(y)
-        y = nn.gelu(y, approximate=False)  # torch nn.GELU = exact erf
-        y = nn.Dense(
+        )(y2)
+        y2 = nn.gelu(y2, approximate=False)  # torch nn.GELU = exact erf
+        y2 = nn.Dense(
             C, dtype=self.dtype, param_dtype=jnp.float32, name="ffn_fc2"
-        )(y)
-        return x + y
+        )(y2)
+        if fused_wb is None:
+            return y + y2
+        from ..ops.pallas.swin_block import fused_swin_block
+
+        return fused_swin_block(
+            x, self.variables["params"], heads=self.heads,
+            window=self.window, shift=self.shift,
+            mlp_ratio=self.mlp_ratio, wb=fused_wb,
+        )
 
 
 class PatchMerging(nn.Module):

@@ -1,0 +1,304 @@
+"""Pallas TPU kernel: ONE whole SwinBlock per program, VMEM-resident.
+
+`window_attention.py` already keeps the attention core (scores + bias +
+mask + softmax + AV) out of HBM, but the Swin-B device trace (PROFILE.md
+appendix) shows the block's OTHER tensors still round-trip HBM between
+every XLA op: LN1 output, the (Bw·n, 3C) qkv projection, the attention
+context, the proj output, the residual sum, LN2's output and the
+(Bw·n, 4C) MLP hidden — LayerNorms alone are ~17% of device time and
+the MLP/qkv dot fusions another ~15%.  This kernel runs the ENTIRE
+block
+
+    x ─ LN1 ─ qkv ─ window-attention ─ proj ─(+x)─ LN2 ─ fc1 ─ gelu ─ fc2 ─(+)─ out
+
+for WB packed windows per grid program, with every intermediate in
+VMEM: HBM traffic drops to one read of x, one write of out, and a
+one-time load of the (constant-index-map) weights.  The attention core
+is the window-packed formulation of
+`window_attention.packed_window_attention` (one (WB·n, d)@(d, WB·n)
+score matmul + one context matmul per head — MXU-issue-amortized, with
+the additive −1e5 off-window-diagonal tensor making the packed
+probability matrix exactly block-diagonal after softmax underflow).
+
+Numerics match the flax einsum path (models/swin.py::SwinBlock):
+
+- LayerNorm stats in float32 (flax promotes half precision), fast
+  variance E[x²]−E[x]², eps 1e-5, f32 scale/bias, result cast to bf16.
+- Dense matmuls accumulate f32 on the MXU, cast to bf16, bf16 bias add.
+- Padded tokens (window grid ⌈H/w⌉·⌈W/w⌉ over the H×W map) enter
+  attention as EXACT zeros post-LN1 — the mmcv ordering pads the LN
+  output before qkv, so a pad token's k/v is exactly the qkv bias.
+  A per-token `valid` pattern (cycled per program like the shift
+  regions) zeroes them; their outputs are garbage and are cropped by
+  the caller after window reversal, exactly like the einsum path.
+- Shifted-window masking is the rank-1 region-id comparison (−100)
+  of `models/swin.py::_shift_regions`.
+- GELU is exact-erf (torch nn.GELU), computed in f32 on the f32 fc1
+  accumulator.
+
+Reference behavior being replaced: MMPose Swin backbone blocks
+(reference model zoo `td-hm_swin-b-p4-w7`; see models/swin.py header
+for the structural citations).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["feasible_wb", "fused_swin_block"]
+
+# Conservative VMEM budget for (packing tensor + weights); the v5e
+# accepts ~<78 MB of resident blocks (the wb=16 stage-3 variant OOMs at
+# 78.6 MB, wb=8's 19.7 MB runs — examples/bench_window_attention.py).
+_VMEM_BUDGET = 56 * 2 ** 20
+
+
+def _valid_mask(h: int, w: int, hp: int, wp: int, win: int,
+                shift: int) -> np.ndarray:
+    """(nW, n) 1.0 where the (rolled, padded) token is a real map token.
+
+    Position p of the rolled map holds original index (p + shift) mod
+    dim; it is real iff that original index is < the unpadded extent.
+    """
+    rows = (np.arange(hp) + shift) % hp < h
+    cols = (np.arange(wp) + shift) % wp < w
+    img = (rows[:, None] & cols[None, :]).astype(np.float32)
+    m = img.reshape(hp // win, win, wp // win, win)
+    return m.transpose(0, 2, 1, 3).reshape(-1, win * win)
+
+
+def feasible_wb(x_shape, heads: int, window: int, mlp_ratio: int,
+                ) -> int | None:
+    """Largest measured-good window pack for which the block kernel's
+    resident VMEM (packing tensor + all six weight matrices) fits.
+    None → caller should fall back (tiny batch or VMEM-busting stage).
+    """
+    B, H, W, C = x_shape
+    n = window * window
+    hp = -(-H // window) * window
+    wp = -(-W // window) * window
+    nw = (hp // window) * (wp // window)
+    bw = B * nw
+    wbytes = 2 * (C * 3 * C + C * C + 2 * mlp_ratio * C * C)
+    for cand in (8, 16, 4, 2):
+        if bw % cand or (cand * n) % 8:
+            continue
+        if heads * (cand * n) ** 2 * 4 + wbytes <= _VMEM_BUDGET:
+            return cand
+    return None
+
+
+def _erf(x: jax.Array) -> jax.Array:
+    """float32 erf for the exact-GELU — Mosaic has no erf lowering.
+
+    Abramowitz & Stegun 7.1.26 rational approximation, max abs error
+    1.5e-7: three orders of magnitude below bf16 resolution (~4e-3
+    relative), so the GELU matches torch's exact-erf within the bf16
+    cast that follows either way.
+    """
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _block_kernel(xw_ref, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                  t_ref, rrow_ref, rcol_ref, wproj_ref, bproj_ref,
+                  ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+                  out_ref, ctx_ref, *, heads: int, C: int, scale: float,
+                  shifted: bool, padded: bool, eps: float = 1e-5):
+    f32 = jnp.float32
+    bf = xw_ref.dtype
+    d = C // heads
+
+    x = xw_ref[:]  # (WBn, C) bf16 — residual base rides in registers/VMEM
+    xf = x.astype(f32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * ln1s_ref[0] + ln1b_ref[0]
+    if padded:
+        # mmcv pads AFTER LN1: pad tokens must hit qkv as exact zeros.
+        y = y * vpat_ref[0]
+    y = y.astype(bf)
+
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=f32)
+    qkv = (qkv.astype(bf) + bqkv_ref[0].astype(bf))  # (WBn, 3C)
+
+    for h in range(heads):
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, C + h * d:C + (h + 1) * d]
+        v = qkv[:, 2 * C + h * d:2 * C + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        ) * scale
+        s = s + t_ref[h]
+        if shifted:
+            s = s + jnp.where(rrow_ref[0] != rcol_ref[0], f32(-100.0),
+                              f32(0.0))
+        p = jax.nn.softmax(s, axis=-1).astype(bf)
+        ctx_ref[:, h * d:(h + 1) * d] = jnp.dot(
+            p, v, preferred_element_type=f32).astype(bf)
+
+    po = jnp.dot(ctx_ref[:], wproj_ref[:], preferred_element_type=f32)
+    x2 = x + (po.astype(bf) + bproj_ref[0].astype(bf))
+
+    x2f = x2.astype(f32)
+    mu2 = jnp.mean(x2f, axis=-1, keepdims=True)
+    var2 = jnp.mean(x2f * x2f, axis=-1, keepdims=True) - mu2 * mu2
+    y2 = ((x2f - mu2) * jax.lax.rsqrt(var2 + eps) * ln2s_ref[0]
+          + ln2b_ref[0]).astype(bf)
+
+    h1 = jnp.dot(y2, wfc1_ref[:], preferred_element_type=f32) + bfc1_ref[0]
+    g = (0.5 * h1 * (1.0 + _erf(h1 * (2.0 ** -0.5)))).astype(bf)
+    o2 = jnp.dot(g, wfc2_ref[:], preferred_element_type=f32)
+    out_ref[:] = x2 + (o2.astype(bf) + bfc2_ref[0].astype(bf))
+
+
+def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
+                     shift: int, mlp_ratio: int, wb: int | None = None,
+                     interpret: bool | None = None) -> jax.Array:
+    """Whole SwinBlock (LN1→attn→+x→LN2→MLP→+) as one Pallas program set.
+
+    Not independently jitted: callers trace it inside their own jit
+    (mask/valid/region tables are trace-time numpy geometry).
+
+    x:  (B, H, W, C) block input in the model dtype (bf16 on TPU).
+    p:  the block's flax param subtree (models/swin.py::SwinBlock names):
+        norm1/{scale,bias}, attn/{bias_table, qkv/{kernel,bias},
+        proj/{kernel,bias}}, norm2/{scale,bias},
+        ffn_fc1/{kernel,bias}, ffn_fc2/{kernel,bias}.
+    wb: windows packed per program (`feasible_wb`); required — callers
+        gate on feasibility and fall back to the unfused path otherwise.
+    Returns (B, H, W, C): the block output (both residuals applied).
+    """
+    # Window geometry tables live with the model (single source of
+    # truth); lazy import keeps the ops→models edge call-time-only.
+    from ...models.swin import _rel_position_index, _shift_regions
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W, C = x.shape
+    win = window
+    n = win * win
+    if wb is None:
+        wb = feasible_wb(x.shape, heads, win, mlp_ratio)
+        if wb is None:
+            raise ValueError("no feasible window pack; gate on feasible_wb")
+    pad_b = (win - H % win) % win
+    pad_r = (win - W % win) % win
+    Hp, Wp = H + pad_b, W + pad_r
+    nW = (Hp // win) * (Wp // win)
+    Bw = B * nW
+    WBn = wb * n
+    scale = float((C // heads) ** -0.5)
+    shifted = bool(shift)
+    padded = bool(pad_b or pad_r)
+    bf = x.dtype
+
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    if shift:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    xw = x.reshape(B, Hp // win, win, Wp // win, win, C)
+    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(Bw * n, C)
+
+    # Packing tensor: relative-position bias tiled across window blocks
+    # + −1e5 off the window diagonal (see window_attention.py for why
+    # the underflow makes the packed softmax exactly block-diagonal).
+    bias = p["attn"]["bias_table"][_rel_position_index(win)]  # (n, n, heads)
+    bias = bias.transpose(2, 0, 1).astype(jnp.float32)
+    offdiag = np.full((WBn, WBn), -1e5, np.float32)
+    for j in range(wb):
+        offdiag[j * n:(j + 1) * n, j * n:(j + 1) * n] = 0.0
+    t = jnp.broadcast_to(
+        bias[:, None, :, None, :], (heads, wb, n, wb, n)
+    ).reshape(heads, WBn, WBn) + jnp.asarray(offdiag)
+
+    # Per-program token patterns (valid + shift regions), cycled by the
+    # same (i·wb mod nW)//gcd index map as packed_window_attention.
+    g = math.gcd(wb, nW)
+    npat = nW // g
+
+    def pack_pattern(rows: np.ndarray) -> np.ndarray:  # (nW, n) → (npat, WBn)
+        return np.stack([
+            np.concatenate([rows[(q * g + j) % nW] for j in range(wb)])
+            for q in range(npat)
+        ])
+
+    def r_index(i):
+        return (((i * wb) % nW) // g, 0, 0)
+
+    if padded:
+        vpat = jnp.asarray(
+            pack_pattern(_valid_mask(H, W, Hp, Wp, win, shift))[:, :, None])
+    else:
+        vpat = jnp.ones((1, WBn, 1), jnp.float32)
+    if shifted:
+        rpat = pack_pattern(
+            _shift_regions(Hp, Wp, win, shift).astype(np.float32))
+        rrow = jnp.asarray(rpat[:, :, None])
+        rcol = jnp.asarray(rpat[:, None, :])
+    else:
+        rrow = jnp.zeros((1, WBn, 1), jnp.float32)
+        rcol = jnp.zeros((1, 1, WBn), jnp.float32)
+    pat_index = r_index if (padded or shifted) else (lambda i: (0, 0, 0))
+
+    def row_vec(a):  # (C,) f32 param → (1, C) block
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    w_bf = lambda a: a.astype(bf)
+    kernel = partial(_block_kernel, heads=heads, C=C, scale=scale,
+                     shifted=shifted, padded=padded)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Bw * n, C), bf),
+        grid=(Bw // wb,),
+        in_specs=[
+            pl.BlockSpec((WBn, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WBn, 1), pat_index, memory_space=pltpu.VMEM),
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)), const((1, 3 * C)),
+            const((heads, WBn, WBn)),
+            pl.BlockSpec((1, WBn, 1), pat_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, WBn), pat_index, memory_space=pltpu.VMEM),
+            const((C, C)), const((1, C)),
+            const((1, C)), const((1, C)),
+            const((C, mlp_ratio * C)), const((1, mlp_ratio * C)),
+            const((mlp_ratio * C, C)), const((1, C)),
+        ],
+        out_specs=pl.BlockSpec((WBn, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((WBn, C), bf)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        xw, vpat,
+        row_vec(p["norm1"]["scale"]), row_vec(p["norm1"]["bias"]),
+        w_bf(p["attn"]["qkv"]["kernel"]), row_vec(p["attn"]["qkv"]["bias"]),
+        t, rrow, rcol,
+        w_bf(p["attn"]["proj"]["kernel"]), row_vec(p["attn"]["proj"]["bias"]),
+        row_vec(p["norm2"]["scale"]), row_vec(p["norm2"]["bias"]),
+        w_bf(p["ffn_fc1"]["kernel"]), row_vec(p["ffn_fc1"]["bias"]),
+        w_bf(p["ffn_fc2"]["kernel"]), row_vec(p["ffn_fc2"]["bias"]),
+    )
+
+    out = out.reshape(B, Hp // win, Wp // win, win, win, C)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    if shift:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    return out[:, :H, :W, :]

@@ -1,0 +1,160 @@
+"""Whole-SwinBlock Pallas kernel (ops/pallas/swin_block.py) parity.
+
+The kernel replaces the ENTIRE block (LN1 -> qkv -> packed window
+attention -> proj -> residual -> LN2 -> MLP -> residual) with one Pallas
+program set; these tests pin it against the flax einsum path in
+interpret mode, including the two geometry hazards: zero-padding
+semantics (pad tokens must enter attention as exact zeros post-LN1,
+mmcv ordering) and per-program pattern cycling when wb does not divide
+nW.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multi_camera_3d_pose_estimation_tpu.models.swin import SwinBlock, SwinPose
+from multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block import (
+    _erf,
+    _valid_mask,
+    feasible_wb,
+    fused_swin_block,
+)
+
+
+def _block_pair(cfg_kwargs, x):
+    ref_m = SwinBlock(**cfg_kwargs)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_m.apply(v, x))
+    blk_m = SwinBlock(**cfg_kwargs, use_pallas="block")
+    got = np.asarray(blk_m.apply(v, x))
+    return ref, got, v
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_block_matches_flax_unpadded(shift):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
+    ref, got, _ = _block_pair(
+        dict(heads=2, window=4, shift=shift, mlp_ratio=2,
+             dtype=jnp.float32), x)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
+def test_block_matches_flax_padded(shift):
+    """window 5 on a 16x18 map: pads both dims, nW=16, wb=8 -> npat=2."""
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 16, 18, 32)), jnp.float32)
+    ref, got, _ = _block_pair(
+        dict(heads=2, window=5, shift=shift, mlp_ratio=2,
+             dtype=jnp.float32), x)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_block_bf16_production_window():
+    """win=7 (Swin-B) on a 20x21 bf16 map with shift — the shipped path."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 20, 21, 32)), jnp.bfloat16)
+    ref, got, _ = _block_pair(
+        dict(heads=4, window=7, shift=3, mlp_ratio=4,
+             dtype=jnp.bfloat16), x)
+    np.testing.assert_allclose(
+        got.astype(np.float32), ref.astype(np.float32), rtol=0, atol=3e-2)
+
+
+def test_padding_is_exact_zero_semantics():
+    """A pad token's k/v must be exactly the qkv bias (mmcv pads the LN1
+    output): corrupting the valid-masked LN bias toward huge values must
+    NOT change real-token outputs more than the reference path does.
+
+    Direct check: fused output equals the flax output even when ln1
+    bias is large (if the kernel applied LN to pad tokens without the
+    valid mask, pad tokens would carry ln_bias@Wqkv instead of 0@Wqkv
+    and every window containing padding would diverge)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 9, 9, 16)), jnp.float32)
+    kw = dict(heads=2, window=4, shift=0, mlp_ratio=2, dtype=jnp.float32)
+    ref_m = SwinBlock(**kw)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    v["params"]["norm1"]["bias"] = (
+        v["params"]["norm1"]["bias"] + 7.0)  # huge LN bias
+    ref = np.asarray(ref_m.apply(v, x))
+    got = np.asarray(SwinBlock(**kw, use_pallas="block").apply(v, x))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_valid_mask_geometry():
+    """Rolled validity: position p holds original (p+shift) mod dim."""
+    m = _valid_mask(5, 5, 8, 8, 4, 0)  # pad 3 rows/cols, no roll
+    img = m.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
+    np.testing.assert_array_equal(img[:5, :5], 1.0)
+    assert img[5:].sum() == 0 and img[:, 5:].sum() == 0
+    m2 = _valid_mask(5, 5, 8, 8, 4, 2)  # rolled by -2: rows 3..7 real->0..4?
+    img2 = m2.reshape(2, 2, 4, 4).transpose(0, 2, 1, 3).reshape(8, 8)
+    rows = (np.arange(8) + 2) % 8 < 5
+    np.testing.assert_array_equal(img2, (rows[:, None] & rows[None, :]))
+
+
+def test_erf_accuracy():
+    from scipy.special import erf as sp_erf
+
+    x = np.linspace(-6, 6, 4001).astype(np.float32)
+    got = np.asarray(_erf(jnp.asarray(x)))
+    # 1.5e-7 analytic bound + f32 evaluation rounding.
+    assert np.abs(got - sp_erf(x.astype(np.float64))).max() < 1e-6
+
+
+def test_feasibility_gate():
+    # Tiny batch that cannot fill any pack -> None (callers fall back):
+    # window 4 on a 4x4 map is nW=1, Bw=1, no candidate divides it.
+    assert feasible_wb((1, 4, 4, 32), heads=2, window=4, mlp_ratio=2) is None
+    # Production stage-0 geometry packs fine.
+    assert feasible_wb((256, 64, 48, 128), heads=4, window=7,
+                       mlp_ratio=4) == 8
+    # VMEM bust: enormous weights force None.
+    assert feasible_wb((64, 7, 7, 4096), heads=64, window=7,
+                       mlp_ratio=4) is None
+
+
+def test_swinpose_block_flag_and_fallback(monkeypatch):
+    """Full model: 'block' output matches einsum; the kernel is actually
+    reached; infeasible stages fall back to packed attention."""
+    import multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block as sb
+
+    calls = []
+    orig = sb.fused_swin_block
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sb, "fused_swin_block", counted)
+    # models/swin.py imports the symbol lazily from the module, so the
+    # monkeypatch above is what the model resolves.
+    cfg = {"embed": 24, "depths": (1, 1), "heads": (2, 4), "window": 4,
+           "mlp_ratio": 2, "deconv": (16,)}
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    ref_m = SwinPose(num_joints=17, cfg=cfg)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_m.apply(v, x))
+    got = np.asarray(
+        SwinPose(num_joints=17, cfg=cfg, use_pallas_attention="block")
+        .apply(v, x))
+    assert len(calls) == 2, f"fused block not reached: {len(calls)}"
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
+
+
+def test_fused_requires_gate():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 16)), jnp.float32)
+    m = SwinBlock(heads=2, window=4, shift=0, mlp_ratio=2, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="feasible"):
+        fused_swin_block(
+            jnp.zeros((1, 4, 4, 1024 * 8), jnp.float32),
+            v["params"], heads=1, window=4, shift=0, mlp_ratio=4)
