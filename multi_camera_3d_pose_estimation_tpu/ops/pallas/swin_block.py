@@ -237,20 +237,27 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
     def r_index(i):
         return (((i * wb) % nW) // g, 0, 0)
 
+    # Each table gets its own index map: a single-pattern placeholder
+    # must use a constant map (cycling indices into a 1-entry axis would
+    # DMA out of range even if the kernel never reads the values).
+    const3 = lambda i: (0, 0, 0)
     if padded:
         vpat = jnp.asarray(
             pack_pattern(_valid_mask(H, W, Hp, Wp, win, shift))[:, :, None])
+        v_index = r_index
     else:
         vpat = jnp.ones((1, WBn, 1), jnp.float32)
+        v_index = const3
     if shifted:
         rpat = pack_pattern(
             _shift_regions(Hp, Wp, win, shift).astype(np.float32))
         rrow = jnp.asarray(rpat[:, :, None])
         rcol = jnp.asarray(rpat[:, None, :])
+        reg_index = r_index
     else:
         rrow = jnp.zeros((1, WBn, 1), jnp.float32)
         rcol = jnp.zeros((1, 1, WBn), jnp.float32)
-    pat_index = r_index if (padded or shifted) else (lambda i: (0, 0, 0))
+        reg_index = const3
 
     def row_vec(a):  # (C,) f32 param → (1, C) block
         return a.astype(jnp.float32).reshape(1, -1)
@@ -267,12 +274,12 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
         in_specs=[
             pl.BlockSpec((WBn, C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, WBn, 1), pat_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WBn, 1), v_index, memory_space=pltpu.VMEM),
             const((1, C)), const((1, C)),
             const((C, 3 * C)), const((1, 3 * C)),
             const((heads, WBn, WBn)),
-            pl.BlockSpec((1, WBn, 1), pat_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, WBn), pat_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WBn, 1), reg_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, WBn), reg_index, memory_space=pltpu.VMEM),
             const((C, C)), const((1, C)),
             const((1, C)), const((1, C)),
             const((C, mlp_ratio * C)), const((1, mlp_ratio * C)),
