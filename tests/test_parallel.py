@@ -291,3 +291,45 @@ def test_multiprocess_distributed_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK" in out
+
+
+def test_sharded_pipeline_swin_fused_block():
+    """Swin + the whole-block Pallas kernel under the 8-device data mesh.
+
+    On CPU the kernel runs in interpret mode (pure-jax emulation pjit can
+    partition), so this pins the COMPOSITION — fused path inside the
+    sharded program, per-shard feasibility gating, wire shapes, parity vs
+    the single-device einsum pipeline — not TPU SPMD custom-call
+    partitioning (single real chip here; ROADMAP multi-host item).
+    """
+    from multi_camera_3d_pose_estimation_tpu.models import SwinPose
+
+    cfg = {"embed": 24, "depths": (1, 1), "heads": (2, 4), "window": 4,
+           "mlp_ratio": 2, "deconv": (16,)}
+    ref_model = SwinPose(num_joints=17, cfg=cfg, dtype=jnp.float32)
+    variables = ref_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
+    blk_model = SwinPose(num_joints=17, cfg=cfg, dtype=jnp.float32,
+                         use_pallas_attention="block")
+    C = 2
+    cam_stack = {
+        "K": np.tile(np.array([[300.0, 0, 80.0], [0, 300.0, 60.0], [0, 0, 1]]),
+                     (C, 1, 1)),
+        "R": np.stack([np.eye(3)] * C),
+        "T": np.stack([np.zeros(3), np.array([-30.0, 0, 0])]),
+        "dist": np.zeros((C, 5)),
+    }
+    est_ref = TopDownEstimator(ref_model, variables, input_size=(32, 64),
+                               decode="heatmap")
+    est_blk = TopDownEstimator(blk_model, variables, input_size=(32, 64),
+                               decode="heatmap")
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(size=(8, C, 120, 160, 3)).astype(np.float32)
+
+    single = ShardedPosePipeline(est_ref, cam_stack, mesh=None)
+    sharded = ShardedPosePipeline(est_blk, cam_stack, mesh=make_mesh(8))
+    out_s = single.run(frames)
+    out_m = sharded.run(frames)
+    for key in ("kpts_2d", "heatmaps_2d", "kpts_3d"):
+        np.testing.assert_allclose(
+            np.asarray(out_s[key]), np.asarray(out_m[key]),
+            rtol=5e-3, atol=5e-3, equal_nan=True)
