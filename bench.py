@@ -229,11 +229,12 @@ def bench_swin(use_pallas_attention: bool | None = None):
     from multi_camera_3d_pose_estimation_tpu.models import SWIN_B
 
     if use_pallas_attention is None:
-        # Shipped default: packed kernel on TPU (einsum 301.4 ->
-        # per-window 399.2 -> packed 454.8 fps, same-session A/B);
-        # `swin_loop`/`swin_xla` keep the other variants for the A/B.
-        # Off-TPU the kernel would run in interpret mode.
-        use_pallas_attention = _on_tpu()
+        # Shipped default: whole-block fused kernel on TPU (einsum 301.4
+        # -> per-window 399.2 -> packed 454.8 -> block 593.2 fps,
+        # same-session A/B); `swin_pallas`/`swin_loop`/`swin_xla` keep
+        # the other variants.  Off-TPU the kernels would run in
+        # interpret mode.
+        use_pallas_attention = "block" if _on_tpu() else False
     T, C, H, W = 128, 2, 256, 256  # ~3.4x HRNet-W32 GFLOPs/crop: smaller block
     frames_shape = (T, C, H, W, 3)
     pipe = _build_pipeline(SWIN_B, (192, 256), frames_shape, family="swin",

@@ -129,8 +129,10 @@ def main():
     ap.add_argument("--family", choices=("hrnet", "swin", "rtmpose"),
                     default="hrnet")
     ap.add_argument("--trace_dir", default=None)
-    ap.add_argument("--pallas_attention", action="store_true",
-                    help="swin family: fused window-attention kernel")
+    ap.add_argument("--pallas_attention", nargs="?", const=True, default=False,
+                    help="swin family kernel: bare flag = packed window "
+                         "attention; 'block' = fused whole-SwinBlock; "
+                         "'loop' = per-window")
     args = ap.parse_args()
 
     run_block, call_args, (T, n_inner) = build_run_block(

@@ -129,11 +129,12 @@ def build_estimator(
     ``checkpoint``: path to an .npz/.msgpack of our parameter pytree, or a
     torch .pth for the hrnet family (converted on load).  None → random
     init (pipeline-correct; accuracy requires trained weights).
-    ``use_pallas_attention`` (swin family only): window-attention kernel
-    selection — None (default) picks the packed Pallas kernel on TPU and
-    the XLA einsum path elsewhere; True/"block"/"loop"/False force a
-    variant ("block" = the whole-SwinBlock fused kernel,
-    ops/pallas/swin_block.py; see models/swin.py::WindowAttention).
+    ``use_pallas_attention`` (swin family only): Pallas kernel selection
+    — None (default) picks the whole-SwinBlock fused kernel on TPU
+    (ops/pallas/swin_block.py; VMEM-infeasible stages fall back to the
+    packed attention kernel automatically) and the XLA einsum path
+    elsewhere; True/"block"/"loop"/False force a variant (see
+    models/swin.py::WindowAttention).
     ``estimator_kwargs`` pass through to `TopDownEstimator` (e.g.
     ``decode_mode="dark"``, ``flip_test=True``).
     """
@@ -147,7 +148,8 @@ def build_estimator(
         model = HRNet(num_joints=num_joints, cfg=spec["cfg"], dtype=dtype)
     elif spec["family"] == "swin":
         if use_pallas_attention is None:
-            use_pallas_attention = jax.default_backend() == "tpu"
+            use_pallas_attention = (
+                "block" if jax.default_backend() == "tpu" else False)
         model = SwinPose(num_joints=num_joints, cfg=spec["cfg"], dtype=dtype,
                          use_pallas_attention=use_pallas_attention)
     else:
