@@ -90,7 +90,9 @@ def feasible_wb(x_shape, heads: int, window: int, mlp_ratio: int,
     for cand in (8, 16, 4, 2):
         if bw % cand or (cand * n) % 8:
             continue
-        if heads * (cand * n) ** 2 * 4 + wbytes <= _VMEM_BUDGET:
+        san = min(cand, 8) * n  # attention sub-pack (fused_swin_block wa)
+        act = cand * n * C * 28  # x/qkv/ctx/MLP-hidden per program (est.)
+        if heads * san * san * 4 + wbytes + act <= _VMEM_BUDGET:
             return cand
     return None
 
@@ -115,10 +117,11 @@ def _block_kernel(xw_ref, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                   t_ref, rrow_ref, rcol_ref, wproj_ref, bproj_ref,
                   ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
                   out_ref, ctx_ref, *, heads: int, C: int, scale: float,
-                  shifted: bool, padded: bool, eps: float = 1e-5):
+                  shifted: bool, padded: bool, san: int, eps: float = 1e-5):
     f32 = jnp.float32
     bf = xw_ref.dtype
     d = C // heads
+    WBn = xw_ref.shape[0]
 
     x = xw_ref[:]  # (WBn, C) bf16 — residual base rides in registers/VMEM
     xf = x.astype(f32)
@@ -133,20 +136,31 @@ def _block_kernel(xw_ref, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=f32)
     qkv = (qkv.astype(bf) + bqkv_ref[0].astype(bf))  # (WBn, 3C)
 
-    for h in range(heads):
-        q = qkv[:, h * d:(h + 1) * d]
-        k = qkv[:, C + h * d:C + (h + 1) * d]
-        v = qkv[:, 2 * C + h * d:2 * C + (h + 1) * d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
-        ) * scale
-        s = s + t_ref[h]
+    # Attention runs per SUB-pack of san = wa·n rows: the block-diagonal
+    # score waste scales with the attention pack, so the dense matmuls
+    # (qkv/proj/MLP) take the full WBn pack while the scores stay at the
+    # measured-good wa (t is identical for every sub-pack — it depends
+    # only on within-window position and window parity).
+    for sp in range(WBn // san):
+        r0 = sp * san
+        qkv_s = qkv[r0:r0 + san, :]
         if shifted:
-            s = s + jnp.where(rrow_ref[0] != rcol_ref[0], f32(-100.0),
-                              f32(0.0))
-        p = jax.nn.softmax(s, axis=-1).astype(bf)
-        ctx_ref[:, h * d:(h + 1) * d] = jnp.dot(
-            p, v, preferred_element_type=f32).astype(bf)
+            regmask = jnp.where(
+                rrow_ref[0, r0:r0 + san, :] != rcol_ref[0, :, r0:r0 + san],
+                f32(-100.0), f32(0.0))
+        for h in range(heads):
+            q = qkv_s[:, h * d:(h + 1) * d]
+            k = qkv_s[:, C + h * d:C + (h + 1) * d]
+            v = qkv_s[:, 2 * C + h * d:2 * C + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ) * scale
+            s = s + t_ref[h]
+            if shifted:
+                s = s + regmask
+            p = jax.nn.softmax(s, axis=-1).astype(bf)
+            ctx_ref[r0:r0 + san, h * d:(h + 1) * d] = jnp.dot(
+                p, v, preferred_element_type=f32).astype(bf)
 
     po = jnp.dot(ctx_ref[:], wproj_ref[:], preferred_element_type=f32)
     x2 = x + (po.astype(bf) + bproj_ref[0].astype(bf))
@@ -165,6 +179,7 @@ def _block_kernel(xw_ref, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
 
 def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
                      shift: int, mlp_ratio: int, wb: int | None = None,
+                     wa: int | None = None,
                      interpret: bool | None = None) -> jax.Array:
     """Whole SwinBlock (LN1→attn→+x→LN2→MLP→+) as one Pallas program set.
 
@@ -178,6 +193,10 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
         ffn_fc1/{kernel,bias}, ffn_fc2/{kernel,bias}.
     wb: windows packed per program (`feasible_wb`); required — callers
         gate on feasibility and fall back to the unfused path otherwise.
+    wa: windows packed per ATTENTION sub-pack (must divide wb; default
+        min(wb, 8)) — the dense matmuls run at wb·n rows while scores
+        stay block-diagonal at wa·n, so attention waste does not grow
+        with wb.
     Returns (B, H, W, C): the block output (both residuals applied).
     """
     # Window geometry tables live with the model (single source of
@@ -199,6 +218,11 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
     nW = (Hp // win) * (Wp // win)
     Bw = B * nW
     WBn = wb * n
+    if wa is None:
+        wa = min(wb, 8)
+    if wb % wa:
+        raise ValueError(f"wa={wa} must divide wb={wb}")
+    san = wa * n
     scale = float((C // heads) ** -0.5)
     shifted = bool(shift)
     padded = bool(pad_b or pad_r)
@@ -216,12 +240,12 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
     # the underflow makes the packed softmax exactly block-diagonal).
     bias = p["attn"]["bias_table"][_rel_position_index(win)]  # (n, n, heads)
     bias = bias.transpose(2, 0, 1).astype(jnp.float32)
-    offdiag = np.full((WBn, WBn), -1e5, np.float32)
-    for j in range(wb):
+    offdiag = np.full((san, san), -1e5, np.float32)
+    for j in range(wa):
         offdiag[j * n:(j + 1) * n, j * n:(j + 1) * n] = 0.0
     t = jnp.broadcast_to(
-        bias[:, None, :, None, :], (heads, wb, n, wb, n)
-    ).reshape(heads, WBn, WBn) + jnp.asarray(offdiag)
+        bias[:, None, :, None, :], (heads, wa, n, wa, n)
+    ).reshape(heads, san, san) + jnp.asarray(offdiag)
 
     # Per-program token patterns (valid + shift regions), cycled by the
     # same (i·wb mod nW)//gcd index map as packed_window_attention.
@@ -264,7 +288,7 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
 
     w_bf = lambda a: a.astype(bf)
     kernel = partial(_block_kernel, heads=heads, C=C, scale=scale,
-                     shifted=shifted, padded=padded)
+                     shifted=shifted, padded=padded, san=san)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -277,7 +301,7 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
             pl.BlockSpec((1, WBn, 1), v_index, memory_space=pltpu.VMEM),
             const((1, C)), const((1, C)),
             const((C, 3 * C)), const((1, 3 * C)),
-            const((heads, WBn, WBn)),
+            const((heads, san, san)),
             pl.BlockSpec((1, WBn, 1), reg_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, WBn), reg_index, memory_space=pltpu.VMEM),
             const((C, C)), const((1, C)),

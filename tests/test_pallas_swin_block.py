@@ -44,6 +44,35 @@ def test_block_matches_flax_unpadded(shift):
 
 
 @pytest.mark.parametrize("shift", [0, 2])
+@pytest.mark.parametrize("wb,wa", [(16, 8), (8, 4), (16, 4)])
+def test_block_attention_subpack_matches_flax(shift, wb, wa):
+    """wa < wb: dense matmuls at wb·n rows, scores block-diagonal at
+    wa·n — must be bit-for-bit the same math as the wa == wb packing."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
+    kw = dict(heads=2, window=4, shift=shift, mlp_ratio=2,
+              dtype=jnp.float32)
+    ref_m = SwinBlock(**kw)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_m.apply(v, x))
+    got = np.asarray(fused_swin_block(
+        x, v["params"], heads=2, window=4, shift=shift, mlp_ratio=2,
+        wb=wb, wa=wa, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_block_wa_must_divide_wb():
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 32)), jnp.float32)
+    m = SwinBlock(heads=2, window=4, shift=0, mlp_ratio=2,
+                  dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="must divide"):
+        fused_swin_block(x, v["params"], heads=2, window=4, shift=0,
+                         mlp_ratio=2, wb=8, wa=3, interpret=True)
+
+
+@pytest.mark.parametrize("shift", [0, 2])
 def test_block_matches_flax_padded(shift):
     """window 5 on a 16x18 map: pads both dims, nW=16, wb=8 -> npat=2."""
     rng = np.random.default_rng(1)
