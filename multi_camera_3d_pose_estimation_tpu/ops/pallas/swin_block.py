@@ -59,6 +59,11 @@ __all__ = ["feasible_wb", "fused_swin_block"]
 # 78.6 MB, wb=8's 19.7 MB runs — examples/bench_window_attention.py).
 _VMEM_BUDGET = 56 * 2 ** 20
 
+# Dense-matmul pack candidates for `feasible_wb`, in preference order
+# (first feasible wins).  Module-level so the pipeline-level A/B
+# (examples/bench_swin_block.py / bench.py swin variants) can override.
+_WB_CANDIDATES = (8, 16, 4, 2)
+
 
 def _valid_mask(h: int, w: int, hp: int, wp: int, win: int,
                 shift: int) -> np.ndarray:
@@ -87,7 +92,7 @@ def feasible_wb(x_shape, heads: int, window: int, mlp_ratio: int,
     nw = (hp // window) * (wp // window)
     bw = B * nw
     wbytes = 2 * (C * 3 * C + C * C + 2 * mlp_ratio * C * C)
-    for cand in (8, 16, 4, 2):
+    for cand in _WB_CANDIDATES:
         if bw % cand or (cand * n) % 8:
             continue
         san = min(cand, 8) * n  # attention sub-pack (fused_swin_block wa)

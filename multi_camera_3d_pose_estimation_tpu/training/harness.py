@@ -133,6 +133,11 @@ def _run_train_loop(state, step_fn, sample_batch, steps: int,
         if checkpoint_path and (state.step % checkpoint_every == 0
                                 or state.step >= steps):
             state.save(checkpoint_path)
+    if not np.isfinite(loss) and state.step >= steps:
+        # Resumed-already-complete: no step ran, so there is no final
+        # loss to report — return None instead of inf (strict-JSON-safe
+        # in the harness artifacts).
+        return state, None
     return state, float(loss)
 
 

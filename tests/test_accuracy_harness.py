@@ -223,8 +223,11 @@ def test_pose_trainer_checkpoint_resume(tmp_path):
     assert int(flat["step"]) == 8
 
     # Fully-complete checkpoint: a third call trains zero steps and
-    # returns the checkpointed weights unchanged.
-    _, v8b, _, _ = train_synthetic_pose(scene, steps=8, **kw)
+    # returns the checkpointed weights unchanged — and a None loss (no
+    # step ran, so there is no final loss; inf would poison the strict
+    # JSON the harness artifacts use).
+    _, v8b, _, loss = train_synthetic_pose(scene, steps=8, **kw)
+    assert loss is None
     a = jax.tree.leaves(v8["params"])
     b = jax.tree.leaves(v8b["params"])
     for x, y in zip(a, b):
