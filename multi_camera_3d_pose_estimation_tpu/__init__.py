@@ -24,4 +24,6 @@ Everything numeric runs as statically-shaped, vmappable jnp under ``jax.jit``;
 the time/camera/joint loops of the reference become batch axes.
 """
 
-__version__ = "0.1.0"
+# Single source of truth for the package version: pyproject.toml declares
+# version as dynamic and setuptools reads this literal statically.
+__version__ = "0.4.0"

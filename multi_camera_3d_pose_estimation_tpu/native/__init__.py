@@ -18,20 +18,59 @@ _lib = None
 _tried = False
 
 
+def _cache_build_dir() -> str:
+    """User-writable build dir for installs whose site-packages is read-only
+    (e.g. a root-owned venv).  XDG cache convention; keyed by package version
+    so upgrades rebuild."""
+    from multi_camera_3d_pose_estimation_tpu import __version__
+
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "mc3d-pose-tpu", __version__, "native")
+
+
 def build(force: bool = False) -> bool:
-    """Compile libmediadec.so in-tree; returns success."""
+    """Compile libmediadec.so; returns success.
+
+    Builds in-tree when the package directory is writable; otherwise copies
+    the sources to a per-user cache dir and builds there (ADVICE r3: a
+    pip-installed package in read-only site-packages must still get a decode
+    path when a toolchain + libav are present).  `_SO` is updated to point at
+    whichever artifact exists.
+    """
+    global _SO
     if os.path.exists(_SO) and not force:
         return True
+    build_dir = _DIR
+    if not os.access(_DIR, os.W_OK):
+        build_dir = _cache_build_dir()
+        try:
+            os.makedirs(build_dir, exist_ok=True)
+            import shutil
+
+            for name in ("mediadec.cpp", "Makefile"):
+                shutil.copy2(os.path.join(_DIR, name), os.path.join(build_dir, name))
+        except OSError:
+            return False
+        cached = os.path.join(build_dir, "libmediadec.so")
+        if os.path.exists(cached) and not force:
+            _SO = cached
+            return True
     try:
         subprocess.run(
-            ["make", "-C", _DIR, "libmediadec.so"],
+            ["make", "-C", build_dir, "libmediadec.so"],
             check=True,
             capture_output=True,
             text=True,
         )
-        return os.path.exists(_SO)
     except (subprocess.CalledProcessError, FileNotFoundError):
         return False
+    built = os.path.join(build_dir, "libmediadec.so")
+    if os.path.exists(built):
+        _SO = built
+        return True
+    return False
 
 
 def load_mediadec():

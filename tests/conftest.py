@@ -34,6 +34,56 @@ def pytest_configure(config):
         "markers", "slow: long-running convergence tests (run by default; "
         "deselect with -m 'not slow')"
     )
+    config.addinivalue_line(
+        "markers", "smoke: fast CI tier — at least one test per subsystem, "
+        "< 3 min total on a 1-core box (select with -m smoke)"
+    )
+
+
+# One representative fast test per subsystem (VERDICT r3 #8).  Centralized
+# here (applied in pytest_collection_modifyitems) so the tier's total budget
+# can be tuned in one place; membership is asserted by
+# tests/test_packaging.py::test_smoke_tier_covers_subsystems.
+SMOKE_TESTS = {
+    # core math
+    "test_triangulation.py::test_triangulate_dlt_matches_scalar_oracle",
+    "test_geometry.py::test_project_points_matches_oracle",
+    "test_decode.py::test_moments_match_oracle",
+    # calibration
+    "test_calibration.py::test_solve_pnp",
+    "test_opencv_parity.py::test_rodrigues_parity",
+    # refinement
+    "test_interpolation.py::test_matches_oracle_default",
+    "test_refinement.py::test_refinement_early_stops",
+    # models + converter
+    "test_models.py::test_topdown_estimator_heatmap_path",
+    "test_torch_parity.py::test_rtmpose_converter_missing_keys_raise",
+    "test_detector_e2e.py::test_build_detector_full_frame_registry",
+    # pallas kernels
+    "test_pallas_decode.py::test_fused_matches_jnp_pair",
+    "test_pallas_window_attention.py::test_kernel_window_batching_mask_phase",
+    # parallel / sharding
+    "test_parallel.py::test_mesh_creation",
+    # io / media / sync / acquisition
+    "test_io.py::test_intrinsics_roundtrip",
+    "test_media.py::test_native_library_builds",
+    "test_live_capture.py::test_sync_picker_headless_passthrough",
+    # training
+    "test_training.py::test_heatmap_targets_peak_and_mask",
+    # cli / viz / packaging
+    "test_cli_viz.py::test_main_dispatcher",
+    "test_packaging.py::test_pyproject_parses",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        rel = item.nodeid.split("/")[-1]
+        base = rel.split("[")[0]
+        if rel in SMOKE_TESTS or base in SMOKE_TESTS:
+            item.add_marker(_pytest.mark.smoke)
 
 
 @pytest.fixture

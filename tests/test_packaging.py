@@ -9,7 +9,11 @@ the console script resolves to the CLI dispatcher.
 """
 
 import os
-import tomllib
+
+try:
+    import tomllib  # Python 3.11+
+except ImportError:  # pragma: no cover - 3.10 fallback (tomli in the test extra)
+    import tomli as tomllib
 
 import pytest
 
@@ -58,3 +62,28 @@ def test_console_script_resolves(project):
     with pytest.raises(SystemExit) as e:
         fn(["not_a_command"])
     assert e.value.code == 2
+
+
+def test_version_single_source(project):
+    """pyproject declares version dynamic from __version__ (ADVICE r3)."""
+    assert "version" in project["project"]["dynamic"]
+    attr = project["tool"]["setuptools"]["dynamic"]["version"]["attr"]
+    assert attr == "multi_camera_3d_pose_estimation_tpu.__version__"
+    import multi_camera_3d_pose_estimation_tpu as pkg
+
+    parts = pkg.__version__.split(".")
+    assert len(parts) >= 2 and all(p.isdigit() for p in parts)
+
+
+def test_smoke_tier_covers_subsystems():
+    """Every smoke-tier node exists (collection drift breaks the CI tier
+    silently otherwise) and the tier touches each major subsystem."""
+    from tests.conftest import SMOKE_TESTS
+
+    files = {t.split("::")[0] for t in SMOKE_TESTS}
+    for subsystem_file in (
+        "test_triangulation.py", "test_geometry.py", "test_calibration.py",
+        "test_refinement.py", "test_models.py", "test_parallel.py",
+        "test_io.py", "test_media.py", "test_training.py", "test_cli_viz.py",
+    ):
+        assert subsystem_file in files, f"smoke tier lost {subsystem_file}"
