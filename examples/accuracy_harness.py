@@ -42,6 +42,10 @@ def main():
     p.add_argument("--hard", action="store_true",
                    help="hard domain: clutter, occluders, scale variation, "
                         "distractor person")
+    p.add_argument("--det_select", choices=("top1", "consistent"),
+                   default="top1",
+                   help="box selection: reference top-1 semantics or "
+                        "top-k + cross-view/temporal consistency re-pick")
     p.add_argument("--sgd", action="store_true",
                    help="chain the full MLE SGD refinement onto the "
                         "pipeline output and report mpjpe_3d_sgd")
@@ -92,6 +96,7 @@ def main():
         sgd_variants=json.loads(args.sgd_variants) if args.sgd_variants else None,
         schedule=args.schedule,
         workdir=workdir,
+        det_select=args.det_select,
     )
     print(json.dumps(metrics, indent=1))
     if args.out:

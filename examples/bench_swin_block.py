@@ -41,7 +41,7 @@ def main():
         (16, 12, 512, 16, 18),
         (8, 6, 1024, 32, 2),
     ]
-    packs = [(8, 8), (16, 8), (32, 8), (16, 16)]
+    packs = [(8, 8), (16, 8), (32, 8), (64, 8), (16, 16)]
     rng = np.random.default_rng(0)
 
     print(f"B={B} crops, shift={shift}; ms per LAYER (lower is better)")

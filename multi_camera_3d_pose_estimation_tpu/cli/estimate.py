@@ -96,6 +96,7 @@ def estimate_pose_from_video(
     detector_model: str = "full_frame",
     detector_checkpoint: str | None = None,
     detector_bbox_thr: float = 0.3,
+    detector_select: str = "top1",
     save_dir: str | None = None,
     overwrite: bool = False,
     block_size: int = 64,
@@ -168,7 +169,8 @@ def estimate_pose_from_video(
     # Person detector per the reference (mmpose_pose_estimation.py:236-250):
     # detect → top-1 box; full-frame fallback below bbox_thr.
     detector = build_detector(
-        detector_model, checkpoint=detector_checkpoint, bbox_thr=detector_bbox_thr
+        detector_model, checkpoint=detector_checkpoint,
+        bbox_thr=detector_bbox_thr, select=detector_select,
     )
     pipeline = ShardedPosePipeline(
         estimator, cam_stack, mesh=mesh, conf_threshold=conf_threshold,

@@ -6,7 +6,9 @@ from .swin import SwinPose, SwinTransformer, SWIN_B, SWIN_L, SWIN_T
 from .detector import (
     CenterNetDetector,
     SinglePersonDetector,
+    decode_topk,
     full_frame_bboxes,
+    select_consistent_boxes,
 )
 from .registry import (
     MODEL_REGISTRY,
@@ -38,6 +40,8 @@ __all__ = [
     "SWIN_T",
     "CenterNetDetector",
     "SinglePersonDetector",
+    "decode_topk",
+    "select_consistent_boxes",
     "full_frame_bboxes",
     "TopDownEstimator",
     "MODEL_REGISTRY",

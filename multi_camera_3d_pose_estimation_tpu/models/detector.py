@@ -27,8 +27,15 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["full_frame_bboxes", "CenterNetDetector", "SinglePersonDetector"]
+__all__ = [
+    "full_frame_bboxes",
+    "CenterNetDetector",
+    "SinglePersonDetector",
+    "decode_topk",
+    "select_consistent_boxes",
+]
 
 
 def full_frame_bboxes(frames: jax.Array) -> jax.Array:
@@ -110,6 +117,134 @@ def decode_top1(outputs: dict, stride: int = 16) -> tuple[jax.Array, jax.Array]:
     return boxes, score
 
 
+def decode_topk(outputs: dict, k: int, stride: int = 16
+                ) -> tuple[jax.Array, jax.Array]:
+    """Head maps → top-k peak boxes (B, k, 4) + scores (B, k), sorted.
+
+    CenterNet's NMS-free candidate decode: a 3×3 local-max suppression
+    on the centre heatmap (so the k candidates are k distinct blobs,
+    not k pixels of the same blob), then `lax.top_k`.  Static shapes,
+    one reduce_window + one top_k — no data-dependent control flow.
+    """
+    center = outputs["center"]  # (B, h, w)
+    B, h, w = center.shape
+    pooled = jax.lax.reduce_window(
+        center, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME"
+    )
+    peaks = jnp.where(center >= pooled, center, -jnp.inf)
+    vals, idx = jax.lax.top_k(peaks.reshape(B, h * w), k)  # (B, k)
+    score = jax.nn.sigmoid(vals)
+    cy = (idx // w).astype(jnp.float32)
+    cx = (idx % w).astype(jnp.float32)
+    gather = lambda m: jnp.take_along_axis(
+        m.reshape(B, h * w, 2), idx[..., None].repeat(2, -1), axis=1
+    )  # (B, k, 2)
+    wh = gather(outputs["wh"])
+    off = gather(outputs["offset"])
+    cxy = (jnp.stack([cx, cy], axis=-1) + off) * stride
+    half = wh * 0.5
+    boxes = jnp.concatenate([cxy - half, cxy + half], axis=-1)  # (B, k, 4)
+    return boxes, score
+
+
+def select_consistent_boxes(
+    boxes: jax.Array,
+    scores: jax.Array,
+    cam: dict,
+    *,
+    det_thr: float = 0.3,
+    frame_wh: tuple[float, float] | None = None,
+    window: int = 9,
+    n_rounds: int = 2,
+    lam: float = 4.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Multi-person-robust box selection: pick, per frame per camera, the
+    candidate most consistent with the subject's cross-view, temporally
+    smooth 3D centre.
+
+    The reference keeps the top-1 detector box and assumes one person
+    (mmpose_pose_estimation.py:242-248); under a distractor person the
+    top-1 occasionally jumps to the wrong body and the error is carried
+    all the way into triangulation.  This selector uses the two signals
+    the distractor cannot fake at once: (a) the subject's centre
+    triangulates to the SAME 3D point across views, and (b) that 3D
+    point moves smoothly over time, while spurious picks scatter.
+
+    Fully batched, static-shape, jit-friendly — the whole thing is a few
+    gathers, one 1-point-per-frame DLT triangulation, and a sliding
+    nanmedian over time (tiny next to the pose-model forward):
+
+    1. initial pick = top score (the reference's own semantics);
+    2. triangulate the picked centres (one "joint" per frame) → (T, 3);
+    3. temporal nanmedian over ``window`` frames → a robust anchor
+       trajectory (wrong picks are the minority within a window, so the
+       median lands on the subject);
+    4. re-pick per camera: utility = score − ``lam``·(centre distance to
+       the anchor's projection)/(candidate box diagonal, OKS-style object
+       normalization); repeat from 2.
+
+    Args: ``boxes`` (T, C, k, 4), ``scores`` (T, C, k) from
+    `decode_topk`; ``cam`` the `io.stack_camera_params` dict.  Returns
+    (boxes (T, C, 4), scores (T, C)) of the selected candidate — the
+    caller applies the usual below-``det_thr`` full-frame fallback.
+    """
+    from ..ops.geometry import project_points
+    from ..ops.triangulation import triangulate_top2
+
+    T, C, k = scores.shape
+    centers = (boxes[..., :2] + boxes[..., 2:]) * 0.5  # (T, C, k, 2)
+    # Distance scale: the candidate's own box diagonal (OKS-style object
+    # normalization).  A centre one person-size away from the anchor must
+    # be decisively penalized regardless of frame resolution — the frame
+    # diagonal is far too lax a scale (a distractor a full body away
+    # costs < 0.1 there, less than a typical score gap).  ``frame_wh``
+    # caps the scale so a degenerate huge box cannot neutralize its own
+    # penalty.
+    diag = jnp.linalg.norm(boxes[..., 2:] - boxes[..., :2], axis=-1)
+    lo = 32.0
+    hi = (0.5 * float(np.hypot(frame_wh[0], frame_wh[1]))
+          if frame_wh is not None else jnp.inf)
+    diag = jnp.clip(diag, lo, hi)  # (T, C, k)
+    offs = np.arange(window) - window // 2
+    t_idx = np.clip(np.arange(T)[:, None] + offs[None, :], 0, T - 1)  # (T,w)
+
+    pick = jnp.zeros((T, C), jnp.int32)  # top_k sorts: 0 = top score
+    for _ in range(max(n_rounds, 1)):
+        sel_c = jnp.take_along_axis(
+            centers, pick[..., None, None].repeat(2, -1), axis=2
+        )[:, :, 0]  # (T, C, 2)
+        sel_s = jnp.take_along_axis(scores, pick[..., None], axis=2)[..., 0]
+        # Confidence-gated: a below-floor candidate must not steer the
+        # anchor (NaN rides through the DLT's missing-data path).
+        sel_xy = jnp.where(sel_s[..., None] > det_thr, sel_c, jnp.nan)
+        anchor = triangulate_top2(
+            sel_xy[:, None], sel_s[:, None], cam["K"], cam["dist"],
+            cam["R"], cam["T"],
+        )[:, 0]  # (T, 3)
+        smooth = jnp.nanmedian(anchor[t_idx], axis=1)  # (T, 3)
+        proj = jnp.stack(
+            [
+                project_points(smooth, cam["K"][c], cam["R"][c],
+                               cam["T"][c], cam["dist"][c])
+                for c in range(C)
+            ],
+            axis=1,
+        )  # (T, C, 2)
+        d = jnp.linalg.norm(centers - proj[:, :, None, :], axis=-1)
+        util = scores - lam * (d / diag)
+        # No usable anchor for a frame (too few confident views) →
+        # fall back to score ordering for that frame.
+        util = jnp.where(jnp.isnan(util), scores, util)
+        util = jnp.where(scores > det_thr, util, -1e9)
+        pick = jnp.argmax(util, axis=-1).astype(jnp.int32)
+
+    out_boxes = jnp.take_along_axis(
+        boxes, pick[..., None, None].repeat(4, -1), axis=2
+    )[:, :, 0]
+    out_scores = jnp.take_along_axis(scores, pick[..., None], axis=2)[..., 0]
+    return out_boxes, out_scores
+
+
 class SinglePersonDetector:
     """Reference-shaped wrapper: frames → top-1 person box or full frame.
 
@@ -120,10 +255,20 @@ class SinglePersonDetector:
     """
 
     def __init__(self, model: CenterNetDetector | None = None, variables=None,
-                 bbox_thr: float = 0.3):
+                 bbox_thr: float = 0.3, select: str = "top1", topk: int = 4,
+                 select_window: int = 9, select_lam: float = 4.0):
+        if select not in ("top1", "consistent"):
+            raise ValueError(f"unknown select mode '{select}'")
         self.model = model
         self.variables = variables
         self.bbox_thr = float(bbox_thr)
+        # Selection policy consumed by the PIPELINE (which has the camera
+        # rig + time structure `select_consistent_boxes` needs); the
+        # standalone `detect()` below is per-frame and always top-1.
+        self.select = select
+        self.topk = int(topk)
+        self.select_window = int(select_window)
+        self.select_lam = float(select_lam)
         if model is not None and variables is not None:
             self._run = jax.jit(partial(_detect, model, self.bbox_thr))
 

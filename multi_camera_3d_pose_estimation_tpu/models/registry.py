@@ -188,6 +188,7 @@ def build_detector(
     seed: int = 0,
     input_hw: tuple[int, int] = (256, 256),
     dtype=jnp.bfloat16,
+    select: str = "top1",
 ):
     """Construct a ready `SinglePersonDetector` by registry name.
 
@@ -205,12 +206,14 @@ def build_detector(
     spec = DETECTOR_REGISTRY[name]
     if spec["width"] is None:
         return SinglePersonDetector(bbox_thr=bbox_thr)
+
     model = CenterNetDetector(width=spec["width"], dtype=dtype)
     h, w = input_hw
     variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
     if checkpoint:
         variables = _load_checkpoint(variables, checkpoint, "centernet")
-    return SinglePersonDetector(model, variables, bbox_thr=bbox_thr)
+    return SinglePersonDetector(model, variables, bbox_thr=bbox_thr,
+                                select=select)
 
 
 def _load_checkpoint(variables, path: str, family: str, cfg: dict | None = None):

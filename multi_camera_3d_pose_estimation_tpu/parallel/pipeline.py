@@ -73,6 +73,16 @@ class ShardedPosePipeline:
         # away.  A full-frame detector (model=None) adds nothing to the jit.
         det_model = getattr(detector, "model", None)
         det_thr = float(getattr(detector, "bbox_thr", 0.3))
+        # Selection policy (models/detector.py::select_consistent_boxes):
+        # "top1" = the reference's argmax semantics; "consistent" = top-k
+        # decode + cross-view/temporal-consistency re-pick, still inside
+        # the same jitted program (VERDICT r3 #2).
+        det_select = (
+            getattr(detector, "select", "top1"),
+            int(getattr(detector, "topk", 4)),
+            int(getattr(detector, "select_window", 9)),
+            float(getattr(detector, "select_lam", 4.0)),
+        )
         self.det_variables = getattr(detector, "variables", None)
         self._has_detector = det_model is not None and self.det_variables is not None
 
@@ -92,6 +102,7 @@ class ShardedPosePipeline:
                 self.conf_threshold,
                 det_model if fn_use_det else None,
                 det_thr,
+                det_select,
             )
             donate_nums = (2,) if donate else ()
             if mesh is None:
@@ -145,7 +156,8 @@ class ShardedPosePipeline:
 
 def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
                  decode_mode, flip_shift, fused_stage1, conf_thr, det_model,
-                 det_thr, variables, det_variables, frames, bboxes, cam):
+                 det_thr, det_select, variables, det_variables, frames,
+                 bboxes, cam):
     T, C, H, W, _ = frames.shape
     if frames.dtype == jnp.uint8:
         # bf16 is the block pipeline's compute dtype for the whole
@@ -165,13 +177,33 @@ def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
         # separate mmdet model per frame, mmpose_pose_estimation.py:236-250).
         # Below-threshold detections fall back to the provided boxes
         # (full frame), matching the reference's None-bbox path.
-        from ..models.detector import decode_top1
+        from ..models.detector import (decode_top1, decode_topk,
+                                       select_consistent_boxes)
 
         det_out = det_model.apply(det_variables, flat)
-        det_boxes, det_score = decode_top1(det_out)
-        det_boxes = jnp.clip(
-            det_boxes, 0.0, jnp.asarray([W, H, W, H], jnp.float32)
-        )
+        mode, topk, sel_window, sel_lam = det_select
+        if mode == "consistent":
+            # Top-k candidates re-picked by cross-view triangulation
+            # consistency + temporal-median smoothness of the subject's
+            # 3D centre (VERDICT r3 #2: robust under a distractor person
+            # that the reference's top-1 semantics can latch onto).
+            boxes_k, scores_k = decode_topk(det_out, k=topk)
+            boxes_k = jnp.clip(
+                boxes_k, 0.0, jnp.asarray([W, H, W, H], jnp.float32)
+            )
+            det_boxes, det_score = select_consistent_boxes(
+                boxes_k.reshape(T, C, topk, 4),
+                scores_k.reshape(T, C, topk),
+                cam, det_thr=det_thr, frame_wh=(W, H),
+                window=sel_window, lam=sel_lam,
+            )
+            det_boxes = det_boxes.reshape(T * C, 4)
+            det_score = det_score.reshape(T * C)
+        else:
+            det_boxes, det_score = decode_top1(det_out)
+            det_boxes = jnp.clip(
+                det_boxes, 0.0, jnp.asarray([W, H, W, H], jnp.float32)
+            )
         keep = (det_score > det_thr)[:, None]
         flat_boxes = jnp.where(keep, det_boxes, flat_boxes)
     out = _predict(model, input_size, decode, hm_thr, pad, use_fused,

@@ -267,6 +267,7 @@ def run_accuracy_harness(
     sgd_variants: dict[str, dict] | None = None,
     schedule: str = "cosine",
     workdir: str | None = None,
+    det_select: str = "top1",
 ):
     """Full train→deploy accuracy measurement; returns a metrics dict:
 
@@ -327,6 +328,12 @@ def run_accuracy_harness(
         det_ckpt = os.path.join(workdir, f"det_{tag}.npz")
     detector, det_loss = train_synthetic_detector(scene, steps=det_steps,
                                                   checkpoint_path=det_ckpt)
+    if det_select not in ("top1", "consistent"):
+        raise ValueError(f"unknown det_select '{det_select}'")
+    # Box-selection policy for the deployed pipeline (VERDICT r3 #2):
+    # "consistent" = top-k decode + cross-view/temporal re-pick
+    # (models/detector.py::select_consistent_boxes).
+    detector.select = det_select
     if pose_family == "heatmap":
         model, variables, input_size, pose_loss = train_synthetic_pose(
             scene, steps=pose_steps, schedule=schedule, checkpoint_path=ckpt,
