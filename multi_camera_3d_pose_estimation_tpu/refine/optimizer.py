@@ -84,6 +84,23 @@ class RefineConfig:
     print_frequency: int = 100
     verbose: bool = False
     checkpoint_every: int | None = None
+    # Guardrail knobs (VERDICT r3 #3; all reference-faithful by default
+    # except the gate, which is an exact no-op whenever it doesn't fire):
+    # ``huber_delta``: Huberize the likelihood's Mahalanobis radius
+    # (bounded 2D pull; None = pure Gaussian, the reference objective).
+    # ``likelihood_temperature``: divide the log-likelihood (τ > 1
+    # tempers overconfident decode covariances).
+    # ``auto_gate``: per overlapping window, compare the INITIAL
+    # trajectory's reprojection residual to the 2D noise floor the
+    # Gaussians themselves claim (median squared Mahalanobis radius vs
+    # ``gate_threshold``); a window already below the floor gets zero
+    # LIKELIHOOD weight (priors stay active) — the 2D pull can only add
+    # variance there (measured: easy-domain 9.8 → 45 mm regression,
+    # PARITY.md).
+    huber_delta: float | None = None
+    likelihood_temperature: float = 1.0
+    auto_gate: bool = True
+    gate_threshold: float = 2.0
 
 
 @dataclass
@@ -95,6 +112,9 @@ class RefineResult:
     cost_history: dict[str, np.ndarray]  # per-epoch means, length n_iter
     n_iter: int
     best_total_cost: float
+    # Per-window auto-gate weights (1 = refined, 0 = below the 2D noise
+    # floor and skipped); None when the gate didn't apply (RefineConfig).
+    gate_weights: np.ndarray | None = None
 
 
 def _mlp_init(key, in_dim: int, dtype=jnp.float32):
@@ -251,6 +271,29 @@ class PoseRefiner:
             g, camera0_gaussians_compat=cfg.camera0_gaussians_compat
         )  # (Tw, C, J, 2, 2)
 
+        # Auto-gate (VERDICT r3 #3): weight 0 for windows whose INITIAL
+        # reprojection residual already sits below the 2D noise floor
+        # claimed by the Gaussians themselves — there the MLE pull only
+        # adds variance (PARITY.md easy-domain ablation).  Extrinsics-only
+        # and use_NN runs are not trajectory refinements; gate off.
+        gate_w = np.ones(len(starts), np.float32)
+        gate_applied = (
+            cfg.auto_gate and cfg.optimize_trajectory and not cfg.use_NN
+            and not learning_from_samples
+        )
+        if gate_applied:
+            gate_w = _gate_weights(
+                jnp.asarray(traj0, self.dtype), means, cov_inv,
+                jnp.asarray(Ks, self.dtype), jnp.asarray(Rs, self.dtype),
+                jnp.asarray(Ts, self.dtype), jnp.asarray(ds, self.dtype),
+                starts, B, cfg.gate_threshold, cfg.ignore_distortions,
+            )
+            if cfg.verbose and not gate_w.all():
+                print(
+                    f"auto-gate: {int((gate_w == 0).sum())}/{len(gate_w)} "
+                    f"windows below the 2D noise floor — skipped"
+                )
+
         # Body-length static index arrays.
         use_bl = self.body_lengths is not None and cfg.lambda_body_length > 0
         if use_bl:
@@ -292,6 +335,7 @@ class PoseRefiner:
         cost_names = _cost_names(cfg, use_bl, learning_from_samples)
         data = (
             jnp.asarray(starts),
+            jnp.asarray(gate_w, self.dtype),
             means,
             cov_inv,
             g,
@@ -373,6 +417,7 @@ class PoseRefiner:
             cost_history=history,
             n_iter=n_iter,
             best_total_cost=float(best_total),
+            gate_weights=np.asarray(gate_w) if gate_applied else None,
         )
 
 
@@ -450,6 +495,38 @@ def _randomize(key, params, cfg: RefineConfig, learn_mask, learn_extr):
     return new
 
 
+def _gate_weights(traj0, means, cov_inv, Ks, Rs, Ts, ds, starts, B,
+                  threshold: float, ignore_dist: bool) -> np.ndarray:
+    """Per-window auto-gate weights from the INITIAL trajectory.
+
+    Residual statistic: squared Mahalanobis radius of the reprojection
+    against each observed Gaussian — the decode covariances ARE the 2D
+    noise floor, so a window whose median m² is below ``threshold``
+    (χ²₂ median ≈ 1.39 when the trajectory is already optimal) has
+    nothing for the likelihood to fix.  Host-side, one vectorized pass.
+    """
+    def per_cam(K, R, T, dist, mu, ci):
+        proj = project_points(traj0, K, R, T, dist_coeffs=dist,
+                              ignore_distortions=ignore_dist)  # (Tw, J, 2)
+        diff = proj - mu
+        ok = jnp.all(jnp.isfinite(diff), axis=-1)
+        diff = jnp.where(ok[..., None], diff, 0.0)
+        m2 = jnp.einsum("...i,...ij,...j->...", diff, ci, diff,
+                        precision=jax.lax.Precision.HIGHEST)
+        return jnp.where(ok, m2, jnp.nan)  # (Tw, J)
+
+    m2 = np.asarray(jax.vmap(per_cam, in_axes=(0, 0, 0, 0, 1, 1))(
+        Ks, Rs, Ts, ds, means, cov_inv
+    ))  # (C, Tw, J)
+    out = np.ones(len(starts), np.float32)
+    for i, s in enumerate(np.asarray(starts)):
+        w = m2[:, s:s + B]
+        med = np.nanmedian(w) if np.isfinite(w).any() else np.nan
+        if np.isfinite(med) and med < threshold:
+            out[i] = 0.0
+    return out
+
+
 def _sample_gaussians(key, gauss_gt, n_samples: int):
     """Sample the two GT cameras' Gaussians: (Tw, 2, J, 6) -> (Tw, J, N, 2, 2).
 
@@ -478,6 +555,7 @@ def _run_refinement(
     carry_in,
     block_end,
     starts,
+    gate_w,
     means,
     cov_inv,
     gaussians,
@@ -501,7 +579,7 @@ def _run_refinement(
     J = means.shape[2]
     tx = _clip_and_adam(cfg.grad_clip, cfg.lr, cfg.betas)
 
-    def window_loss(p, start):
+    def window_loss(p, start, gate):
         z = jnp.asarray(0, start.dtype)
         traj_full = p["trajectory"]
         if cfg.use_NN:
@@ -524,6 +602,8 @@ def _run_refinement(
             costs["likelihood_cost"] = likelihood_cost(
                 traj_w, means_w, ci_w, Ks, p["rvecs"], p["tvecs"], dists,
                 ignore_distortions=cfg.ignore_distortions,
+                huber_delta=cfg.huber_delta,
+                temperature=cfg.likelihood_temperature,
             )
         if cfg.lambda_smooth > 0:
             d2 = traj_w[2:] - 2.0 * traj_w[1:-1] + traj_w[:-2]
@@ -542,6 +622,13 @@ def _run_refinement(
                 s_w, means_w, ci_w, Ks, p["rvecs"], p["tvecs"], dists,
                 learn_mask, cfg.ignore_distortions,
             )
+        # Auto-gate: a below-noise-floor window contributes zero
+        # LIKELIHOOD cost/gradient (the 2D pull that only adds variance
+        # there); priors stay active — body lengths and smoothness are
+        # user constraints, not data terms.  gate is 1.0 elsewhere, an
+        # exact no-op.
+        if "likelihood_cost" in costs:
+            costs["likelihood_cost"] = gate * costs["likelihood_cost"]
         total = sum(costs.values())
         costs["total_cost"] = total
         return total, (costs, traj_w)
@@ -559,9 +646,10 @@ def _run_refinement(
             out["nn"] = jax.tree.map(jnp.zeros_like, g["nn"])
         return out
 
-    def batch_step(carry, start):
+    def batch_step(carry, xs):
+        start, gate = xs
         p, s = carry
-        (_, (costs, traj_w)), grads = grad_fn(p, start)
+        (_, (costs, traj_w)), grads = grad_fn(p, start, gate)
         grads = mask_grads(grads)
         updates, s = tx.update(grads, s, p)
         p = optax.apply_updates(p, updates)
@@ -578,7 +666,7 @@ def _run_refinement(
 
     def epoch(carry):
         p, s, best_p, best_total, no_imp, it, hist = carry
-        (p, s), cvecs = jax.lax.scan(batch_step, (p, s), starts)
+        (p, s), cvecs = jax.lax.scan(batch_step, (p, s), (starts, gate_w))
         epoch_costs = jnp.mean(cvecs, axis=0)  # (n_costs,)
         hist = jax.lax.dynamic_update_slice(
             hist, epoch_costs[None], (it, jnp.asarray(0, it.dtype))
