@@ -302,7 +302,7 @@ def _write_synthetic_clip(path: str, T: int, H: int = 256, W: int = 256,
     vw.release()
 
 
-def bench_stream():
+def bench_stream(synthetic_device_source: bool = False):
     """Streaming end-to-end: VIDEO in → 3D out (decode + H2D + compute).
 
     The headline bench times the jitted program on pre-staged device
@@ -313,6 +313,16 @@ def bench_stream():
     triangulate, D2H result fetch — wall-clock over a 2-camera mp4 pair.
     Timing is honest by construction: the returned numpy arrays ARE the
     value fetch for every frame.
+
+    ``synthetic_device_source`` (`stream_device` config, VERDICT r3 #6):
+    identical overlap machinery — the decode thread still decodes every
+    block and paces the loop, dispatch still goes block-by-block with the
+    trailing result fetch — but each decoded host block is SWAPPED for a
+    pre-staged device-resident uint8 block just before dispatch, taking
+    the host→device link out of the path.  On this rig the tunneled H2D
+    link (~67 MB/s) is the streaming wall; this mode measures what the
+    same code path sustains when frames are already on device (the PCIe
+    case a real v5e host provides).
     """
     _ensure_backend()
     import os
@@ -335,6 +345,34 @@ def bench_stream():
 
     pipe = _build_pipeline(HRNET_W32, (192, 256), (block, C, H, W, 3),
                            use_pallas_stage1=_on_tpu())
+    if synthetic_device_source:
+        # Pre-stage a small pool of device-resident uint8 blocks and make
+        # the pipeline swap each decoded block for one of them at the jit
+        # boundary (everything else — decode thread, block pacing, async
+        # dispatch, trailing fetch — is byte-identical code).
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        pool = [
+            jax.device_put(jnp.asarray(
+                rng.integers(0, 256, (block, C, H, W, 3), np.uint8)))
+            for _ in range(4)
+        ]
+        for b in pool:
+            float(jnp.sum(b.astype(jnp.float32)))  # force materialization
+
+        class _DeviceSwapPipe:
+            def __init__(self, inner):
+                self._inner = inner
+                self._i = 0
+
+            def run(self, frames_block, bboxes=None):
+                buf = pool[self._i % len(pool)]
+                self._i += 1
+                return self._inner.run(buf, bboxes)
+
+        pipe = _DeviceSwapPipe(pipe)
     # Warmup pass: compiles the full-block program (and the tail-block
     # shape is padded to `block`, so one shape covers every block).
     run_pipeline_on_videos(pipe, paths, block_size=block, progress=False)
@@ -344,8 +382,11 @@ def bench_stream():
     dt = time.perf_counter() - t0
     assert k3.shape[0] == T, k3.shape
     fps = T / dt
+    metric = ("2-cam HRNet-W32 STREAMING video-in->3D-out"
+              + (" (device-resident source: H2D link excluded)"
+                 if synthetic_device_source else ""))
     print(json.dumps({
-        "metric": "2-cam HRNet-W32 STREAMING video-in->3D-out",
+        "metric": metric,
         "value": round(fps, 1), "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 1000.0, 4),
     }))
@@ -484,5 +525,6 @@ if __name__ == "__main__":
         "swin_loop": lambda: bench_swin("loop"),   # per-window kernel A/B
         "swin_xla": lambda: bench_swin(False),     # einsum-attention baseline
         "stream": bench_stream,                # video-in -> 3D-out e2e
+        "stream_device": lambda: bench_stream(True),  # H2D link excluded
         "detector": bench_detector,            # fused detection cost
     }[cfg]()

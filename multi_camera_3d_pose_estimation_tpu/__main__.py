@@ -7,6 +7,7 @@ Commands mirror the reference's entry points (SURVEY.md §3) plus training:
   refine                linear interpolation / SGD refinement CLI
   plot                  heatmap / 3D-pose animations
   train                 train a 2D model on COCO-format data
+  convert               import/verify MMPose torch checkpoints (.pth)
   doctor                environment health check (imports, native media
                         runtime, bounded device-backend probe, CPU mesh)
 """
@@ -20,6 +21,7 @@ _COMMANDS = {
     "refine": "multi_camera_3d_pose_estimation_tpu.cli.refine",
     "plot": "multi_camera_3d_pose_estimation_tpu.cli.plot",
     "train": "multi_camera_3d_pose_estimation_tpu.cli.train",
+    "convert": "multi_camera_3d_pose_estimation_tpu.cli.convert",
     "doctor": "multi_camera_3d_pose_estimation_tpu.cli.doctor",
 }
 

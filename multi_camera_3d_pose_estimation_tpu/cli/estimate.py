@@ -35,6 +35,7 @@ def run_pipeline_on_videos(
     block_size: int = 64,
     progress: bool = True,
     inflight: int = 2,
+    on_block=None,
 ):
     """Stream videos through the jitted pipeline; returns stacked results.
 
@@ -45,6 +46,13 @@ def run_pipeline_on_videos(
     overlaps block N+1's compute instead of serializing after it (jax
     async dispatch makes `pipeline.run` return futures; only
     `np.asarray` blocks).
+
+    ``on_block``: optional live-preview hook (the reference shows a 2D
+    keypoint overlay while inferring, pose_estimation.py:125,145-149) —
+    called at DRAIN time (so it never stalls dispatch) as
+    ``on_block(frames_block, kpts_2d_block, frame_offset)`` with the
+    uint8 (n_valid, C, H, W, 3) block and its (n_valid, K, 3, C)
+    keypoints.  See `viz.make_preview_writer` for a ready-made renderer.
     """
     from collections import deque
 
@@ -54,10 +62,13 @@ def run_pipeline_on_videos(
 
     def drain(item):
         nonlocal n_done
-        out, n_valid = item
-        kpts_2d.append(np.asarray(out["kpts_2d"])[:n_valid])
+        out, n_valid, frames_block = item
+        k2 = np.asarray(out["kpts_2d"])[:n_valid]
+        kpts_2d.append(k2)
         heatmaps.append(np.asarray(out["heatmaps_2d"])[:n_valid])
         kpts_3d.append(np.asarray(out["kpts_3d"])[:n_valid])
+        if on_block is not None:
+            on_block(frames_block[:n_valid], k2, n_done)
         n_done += n_valid
 
     pending: deque = deque()
@@ -71,7 +82,10 @@ def run_pipeline_on_videos(
             except ImportError:
                 pass
         for block, n_valid in iterator:
-            pending.append((pipeline.run(block), n_valid))
+            # The host block is only retained until its drain when a
+            # preview hook needs it (blocks are recycled otherwise).
+            keep = block if on_block is not None else None
+            pending.append((pipeline.run(block), n_valid, keep))
             if len(pending) > max(int(inflight), 0):
                 drain(pending.popleft())
         while pending:
@@ -106,6 +120,8 @@ def estimate_pose_from_video(
     estimator_kwargs: dict | None = None,
     intrinsic_params_dir: str | None = None,
     extrinsic_params_dir: str | None = None,
+    live_preview_dir: str | None = None,
+    live_preview_show: bool = False,
 ):
     """Full 2D+3D estimation over synchronized recordings.
 
@@ -176,8 +192,16 @@ def estimate_pose_from_video(
         estimator, cam_stack, mesh=mesh, conf_threshold=conf_threshold,
         detector=detector,
     )
+    on_block = None
+    if live_preview_dir or live_preview_show:
+        # The reference's live overlay during inference
+        # (pose_estimation.py:125,145-149), headless-first.
+        from ..viz import make_preview_writer
+
+        on_block = make_preview_writer(save_dir=live_preview_dir,
+                                       show=live_preview_show)
     kpts_2d, heatmaps, kpts_3d = run_pipeline_on_videos(
-        pipeline, recording_paths, block_size=block_size
+        pipeline, recording_paths, block_size=block_size, on_block=on_block
     )
 
     os.makedirs(save_dir, exist_ok=True)

@@ -49,6 +49,52 @@ def _ordered_torch_params(state: dict[str, np.ndarray]):
         yield k, v
 
 
+# MMPose HRNet registration order of the torch TOP-LEVEL modules (with or
+# without the mmengine "backbone."/"keypoint_head." wrapper prefixes).
+# Canonical re-sorting by this table makes `load_torch_hrnet` independent
+# of state-dict INSERTION order — a re-saved / EMA-folded / merged
+# checkpoint whose dict was rebuilt in arbitrary key order converts
+# identically (VERDICT r3 #4).
+_HRNET_TORCH_RANK = {
+    "conv1": 0, "bn1": 0, "conv2": 1, "bn2": 1,
+    "layer1": 2, "transition1": 3, "stage2": 4, "transition2": 5,
+    "stage3": 6, "transition3": 7, "stage4": 8,
+    # Head names across MMPose versions; natural sort within the rank
+    # keeps deconv layers (when present) ahead of final_layer.
+    "deconv_layers": 9, "final_layer": 9,
+}
+# Bookkeeping tensors a real MMPose checkpoint carries that have no model
+# counterpart (normalization constants live in our preprocessing).
+_HRNET_DROP_PREFIXES = ("data_preprocessor.",)
+
+
+def _hrnet_canonical_params(state: dict[str, np.ndarray]):
+    """(name, array) pairs in MMPose registration order, regardless of the
+    dict's insertion order; unknown tensor names abort the load."""
+    entries = []
+    leftovers = []
+    for name, arr in _ordered_torch_params(state):
+        if name.startswith(_HRNET_DROP_PREFIXES):
+            continue
+        parts = name.split(".")
+        while parts and parts[0] in ("module", "backbone", "keypoint_head",
+                                     "head"):
+            parts = parts[1:]
+        rank = _HRNET_TORCH_RANK.get(parts[0] if parts else "")
+        if rank is None:
+            leftovers.append(name)
+            continue
+        entries.append(((rank, [_natural(p) for p in parts]), name, arr))
+    if leftovers:
+        raise ValueError(
+            f"HRNet checkpoint has {len(leftovers)} unexpected tensors, "
+            f"e.g. {sorted(leftovers)[:5]} — an unsupported variant (aux "
+            f"head / EMA-prefixed keys)?  Refusing to load partially."
+        )
+    entries.sort(key=lambda e: e[0])
+    return [(name, arr) for _, name, arr in entries]
+
+
 def hrnet_top_level_order(cfg: dict | None = None) -> dict[str, int]:
     """Construction-order rank of HRNet's top-level flax module names.
 
@@ -93,7 +139,7 @@ def load_torch_hrnet(variables: dict, path: str, cfg: dict | None = None) -> dic
     convs: list[tuple[str, np.ndarray]] = []
     bns: dict[str, dict[str, np.ndarray]] = {}
     bn_order: list[str] = []
-    for name, arr in _ordered_torch_params(state):
+    for name, arr in _hrnet_canonical_params(state):
         if arr.ndim == 4:
             convs.append((name, arr))
         elif arr.ndim == 1:

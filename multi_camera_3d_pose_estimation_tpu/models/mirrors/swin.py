@@ -213,7 +213,10 @@ class MMPoseSwinBackbone(nn.Module):
             )
             if i < len(depths) - 1:
                 dim *= 2
-        self.norm3 = nn.LayerNorm(dim, eps=1e-5)
+        # MMPose names the out_indices norm `norm{stage_index}` — norm3
+        # for the production 4-stage cfgs, norm1 for 2-stage test cfgs.
+        self._out_norm_name = f"norm{len(depths) - 1}"
+        setattr(self, self._out_norm_name, nn.LayerNorm(dim, eps=1e-5))
 
     def forward(self, x: torch.Tensor) -> torch.Tensor:
         x = self.patch_embed.projection(x)  # B C H/4 W/4
@@ -224,7 +227,7 @@ class MMPoseSwinBackbone(nn.Module):
         out, out_hw = x, hw
         for stage in self.stages:
             x, hw, out, out_hw = stage(x, hw)
-        out = self.norm3(out)
+        out = getattr(self, self._out_norm_name)(out)
         return out.view(B, *out_hw, -1).permute(0, 3, 1, 2)  # B C H W
 
 

@@ -13,7 +13,7 @@ Submodules carry explicit names mirroring the torch state-dict hierarchy,
 making the conversion name-based rather than order-based.
 
 Numerics pinned to the mmcv implementation (validated against the
-independent torch mirror in tests/torch_mmpose_swin.py):
+independent torch mirror in models/mirrors/swin.py):
 
 - feature maps are right/bottom zero-padded to window multiples; padded
   tokens PARTICIPATE in window attention (the mmcv/official-backbone
@@ -144,7 +144,7 @@ class WindowAttention(nn.Module):
         # NOTE: no small-map shift adaptation — the mmdet-lineage Swin
         # backbone MMPose uses shifts + masks unconditionally (the region
         # mask makes a single-window shift well-defined); the torch
-        # mirror (tests/torch_mmpose_swin.py) implements the same.
+        # mirror (models/mirrors/swin.py) implements the same.
 
         table = self.param(
             "bias_table",

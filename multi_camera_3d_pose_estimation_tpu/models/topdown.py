@@ -293,8 +293,18 @@ def _predict(model, input_size, decode, hm_threshold, bbox_padding,
             simcc_x = jnp.log(px + 1e-12)
             simcc_y = jnp.log(py + 1e-12)
         xy_crop, score = simcc_decode(simcc_x, simcc_y)
-        # SimCC has no spatial covariance; build isotropic moments from the
-        # softmax spread so downstream Gaussian refinement still works.
+        # SimCC covariance is EXACT under the head's own model, not a
+        # proxy: SimCC factorizes p(x, y) = p(x)·p(y) by construction
+        # (two independent per-axis classifiers), and for any product
+        # distribution Cov[x, y] = E[xy] − E[x]E[y] = 0 identically.  The
+        # per-axis softmax variances are therefore the full second
+        # moments; /split_ratio² (= 4) converts bin² to crop px².  The
+        # resulting diagonal (generally anisotropic) Gaussian is what the
+        # downstream MLE refinement should see — the information SimCC
+        # genuinely cannot represent is cross-correlation, and writing 0
+        # there is the model's own claim.  Refinement quality on these
+        # Gaussians is pinned against heatmap-moment Gaussians in
+        # tests/test_refinement.py::test_refinement_on_simcc_vs_heatmap_gaussians.
         var_x = _simcc_axis_var(simcc_x) / 4.0  # split_ratio²
         var_y = _simcc_axis_var(simcc_y) / 4.0
         mean_crop = xy_crop

@@ -64,6 +64,34 @@ _VMEM_BUDGET = 56 * 2 ** 20
 # (examples/bench_swin_block.py / bench.py swin variants) can override.
 _WB_CANDIDATES = (8, 16, 4, 2)
 
+# Per-stage preference overrides, keyed by the block's channel width C
+# (the stable stage identity across Swin variants): C → candidate tuple
+# tried BEFORE `_WB_CANDIDATES`.  Settable in code or via the env var
+# ``MC3D_SWIN_WB`` ("128:56,256:32,512:48" or a single global "16") —
+# the pipeline-level A/B knob for pack tuning without editing call sites.
+WB_PREFERENCE_BY_CHANNELS: dict[int, tuple[int, ...]] = {}
+
+
+def _preferred_candidates(C: int) -> tuple[int, ...]:
+    import os
+
+    pref: tuple[int, ...] = ()
+    env = os.environ.get("MC3D_SWIN_WB", "")
+    if env:
+        for part in env.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if ":" in part:
+                ck, v = part.split(":")
+                if int(ck) == C:
+                    pref += (int(v),)
+            else:
+                pref += (int(part),)
+    if C in WB_PREFERENCE_BY_CHANNELS:
+        pref += tuple(WB_PREFERENCE_BY_CHANNELS[C])
+    return pref + _WB_CANDIDATES
+
 
 def _valid_mask(h: int, w: int, hp: int, wp: int, win: int,
                 shift: int) -> np.ndarray:
@@ -92,7 +120,7 @@ def feasible_wb(x_shape, heads: int, window: int, mlp_ratio: int,
     nw = (hp // window) * (wp // window)
     bw = B * nw
     wbytes = 2 * (C * 3 * C + C * C + 2 * mlp_ratio * C * C)
-    for cand in _WB_CANDIDATES:
+    for cand in _preferred_candidates(C):
         if bw % cand or (cand * n) % 8:
             continue
         san = min(cand, 8) * n  # attention sub-pack (fused_swin_block wa)

@@ -10,6 +10,7 @@ from .plots import (
     visualize_2d,
     overlay_trackpoints,
     animate_trackpoints,
+    make_preview_writer,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "visualize_2d",
     "overlay_trackpoints",
     "animate_trackpoints",
+    "make_preview_writer",
 ]

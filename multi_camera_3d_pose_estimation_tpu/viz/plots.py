@@ -386,3 +386,61 @@ def animate_trackpoints(trackpoints, recording_path, labels=(), interval=100):
 
     return FuncAnimation(fig, update, frames=frames, interval=interval,
                          blit=False, save_count=trackpoints.shape[0])
+
+
+def make_preview_writer(save_dir=None, show=False, connectivity=None,
+                        every: int = 8, conf_threshold: float = 0.3):
+    """Build an `on_block` live-preview hook for `run_pipeline_on_videos`.
+
+    The reference displays a cv.imshow keypoint overlay while inferring
+    (pose_estimation.py:125,145-149); this is the headless-first
+    equivalent: every ``every``-th frame gets its 2D skeleton drawn per
+    camera (cv2 linework, cheap), then is shown in a window
+    (``show=True``, the reference behavior) and/or written as
+    ``preview_<frame>_cam<c>.jpg`` under ``save_dir``.  Runs at DRAIN
+    time on the host thread, so it never stalls device dispatch.
+    """
+    import cv2
+
+    from ..utils.skeleton import CONNECTIVITY_DICT
+
+    edges = connectivity or CONNECTIVITY_DICT["coco"]
+    if save_dir:
+        import os
+
+        os.makedirs(save_dir, exist_ok=True)
+
+    def draw(frame, kp_cam):
+        img = np.array(frame, copy=True)  # cv2 draws in place; decoder blocks are readonly
+        # cv2 wants plain-int points; clip so a wild keypoint can't
+        # overflow OpenCV's fixed-point line rasterizer.
+        pts = np.clip(np.nan_to_num(kp_cam[:, :2], nan=-1e6), -32000, 32000)
+        ipts = [(int(x), int(y)) for x, y in pts]
+        ok = np.isfinite(kp_cam[:, :2]).all(axis=-1) & (
+            kp_cam[:, 2] > conf_threshold)
+        for a, b in edges:
+            if ok[a] and ok[b]:
+                cv2.line(img, ipts[a], ipts[b], (0, 255, 0), 1)
+        for j in np.where(ok)[0]:
+            cv2.circle(img, ipts[j], 2, (0, 0, 255), -1)
+        return img
+
+    def on_block(frames_block, kpts_2d_block, frame_offset):
+        # frames (n, C, H, W, 3) uint8 BGR; kpts (n, K, 3, C) wire layout.
+        n, C = frames_block.shape[0], frames_block.shape[1]
+        for i in range(0, n, max(int(every), 1)):
+            for c in range(C):
+                img = draw(frames_block[i, c],
+                           np.moveaxis(kpts_2d_block[i], -1, 0)[c])
+                if save_dir:
+                    import os
+
+                    cv2.imwrite(os.path.join(
+                        save_dir, f"preview_{frame_offset + i:06d}_cam{c}.jpg"
+                    ), img)
+                if show:  # pragma: no cover - needs a display
+                    cv2.imshow(f"camera {c}", img)
+        if show:  # pragma: no cover
+            cv2.waitKey(1)
+
+    return on_block

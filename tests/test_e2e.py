@@ -181,3 +181,28 @@ def test_nan_missing_data_flows_through_all_stages(rng):
                            lambda_smooth=0.0, lambda_body_length=0.0)
     assert np.isfinite(res.trajectory).all()
     assert np.isfinite(res.cost_history["total_cost"]).all()
+
+
+def test_live_preview_hook_writes_overlays(project, tmp_path_factory):
+    """The streaming driver's live-preview hook (reference
+    pose_estimation.py:125,145-149): overlay jpgs are written per drained
+    block without perturbing the artifact outputs."""
+    tmp_path, paths = project
+    prev_dir = str(tmp_path_factory.mktemp("preview"))
+    kpts_2d, heatmaps, kpts_3d = estimate_pose_from_video(
+        paths,
+        project_dir=str(tmp_path),
+        pose_estimation_model="test_tiny",
+        block_size=4,
+        conf_threshold=-1.0,
+        overwrite=True,
+        live_preview_dir=prev_dir,
+    )
+    assert kpts_3d.shape == (8, 17, 3)
+    import glob
+
+    written = sorted(glob.glob(os.path.join(prev_dir, "preview_*.jpg")))
+    # every=8 by default -> one preview frame per 8, x 2 cameras
+    assert len(written) >= 2, written
+    img = cv2.imread(written[0])
+    assert img is not None and img.shape == (120, 160, 3)

@@ -323,3 +323,52 @@ def test_auto_gate_skips_below_noise_floor(rng):
     err0 = np.linalg.norm(bad_init - traj, axis=-1).mean()
     err1 = np.linalg.norm(res.trajectory - traj, axis=-1).mean()
     assert err1 < err0
+
+
+def test_simcc_axis_variance_recovers_known_sigma():
+    """SimCC covariance path: factorized Gaussian logits -> per-axis
+    softmax variance == sigma_bin^2, and under SimCC's p(x,y)=p(x)p(y)
+    factorization Cov[x,y]=0 is EXACT (models/topdown.py)."""
+    import jax.numpy as jnp
+
+    from multi_camera_3d_pose_estimation_tpu.models.topdown import (
+        _simcc_axis_var,
+    )
+
+    n = 384  # 192 px crop * split_ratio 2
+    sigma_bins = 6.0
+    mu = 200.0
+    coords = np.arange(n)
+    logits = -((coords - mu) ** 2) / (2 * sigma_bins**2)
+    var = float(_simcc_axis_var(jnp.asarray(logits[None, None]))[0, 0])
+    assert abs(var - sigma_bins**2) / sigma_bins**2 < 1e-3
+    # crop-pixel conversion used by _predict: /split_ratio^2
+    assert abs(var / 4.0 - (sigma_bins / 2.0) ** 2) < 1e-6
+
+
+def test_refinement_on_simcc_vs_heatmap_gaussians(rng):
+    """Refinement MPJPE pin on SimCC-style Gaussians (diagonal,
+    anisotropic, zero cross-term) vs heatmap-moment Gaussians (isotropic
+    here): both must converge, within 2x of each other (VERDICT r3 #7)."""
+    traj, cams, gauss_hm = make_scene(rng, T=16, J=4, sigma=2.0)
+    # SimCC-style: same means, anisotropic diagonal covariance.
+    gauss_sc = gauss_hm.copy()
+    gauss_sc[..., 2] = 1.5**2  # var_x
+    gauss_sc[..., 5] = 3.0**2  # var_y
+    gauss_sc[..., 3] = gauss_sc[..., 4] = 0.0  # exact under factorization
+    noisy = traj + rng.normal(0, 4.0, traj.shape)
+
+    def run(g):
+        ref = PoseRefiner(g, noisy.copy(), cams)
+        res = ref.sgd_optimize(
+            lr=0.05, max_iter=250, patience=250, lambda_smooth=0.0,
+            lambda_body_length=0.0, auto_gate=False,
+        )
+        return np.linalg.norm(res.trajectory - traj, axis=-1).mean()
+
+    err0 = np.linalg.norm(noisy - traj, axis=-1).mean()
+    err_hm = run(gauss_hm)
+    err_sc = run(gauss_sc)
+    assert err_hm < 0.5 * err0
+    assert err_sc < 0.5 * err0
+    assert err_sc < 2.0 * err_hm and err_hm < 2.0 * err_sc, (err_hm, err_sc)

@@ -1,6 +1,6 @@
 """Converter validation against INDEPENDENT torch forwards.
 
-The torch mirrors in torch_mmpose_hrnet.py / torch_mmpose_rtmpose.py
+The torch mirrors (models/mirrors/: hrnet.py / rtmpose.py / swin.py)
 register modules in MMPose's construction order (the order a real
 checkpoint's state dict has), so these tests catch any ordering mismatch
 in models/convert.py that a self-referential fake state dict cannot
@@ -23,7 +23,7 @@ DEEP_HRNET = {"widths": (8, 16, 32, 64), "modules": (1, 1, 2, 2), "stem": 16}
 
 
 def _convert_and_compare_hrnet(cfg, tmp_path, seed):
-    from torch_mmpose_hrnet import MMPoseHRNet, randomize_
+    from multi_camera_3d_pose_estimation_tpu.models.mirrors.hrnet import MMPoseHRNet, randomize_
 
     from multi_camera_3d_pose_estimation_tpu.models import HRNet
     from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_hrnet
@@ -54,7 +54,7 @@ def test_hrnet_converter_multi_module_stages(tmp_path):
 
 
 def test_rtmpose_converter_vs_independent_torch_forward(tmp_path):
-    from torch_mmpose_rtmpose import MMPoseRTMPose, randomize_
+    from multi_camera_3d_pose_estimation_tpu.models.mirrors.rtmpose import MMPoseRTMPose, randomize_
 
     from multi_camera_3d_pose_estimation_tpu.models import RTMPose
     from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_rtmpose
@@ -94,7 +94,7 @@ def test_rtmpose_converter_missing_keys_raise(tmp_path):
 
 def test_hrnet_converter_rejects_wrong_width(tmp_path):
     """A checkpoint for a different width must abort, not scramble."""
-    from torch_mmpose_hrnet import MMPoseHRNet, randomize_
+    from multi_camera_3d_pose_estimation_tpu.models.mirrors.hrnet import MMPoseHRNet, randomize_
 
     from multi_camera_3d_pose_estimation_tpu.models import HRNet
     from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_hrnet
@@ -126,7 +126,7 @@ WIN7_SWIN = {
 
 
 def _convert_and_compare_swin(cfg, tmp_path, seed, hw=(64, 64)):
-    from torch_mmpose_swin import MMPoseSwin, randomize_
+    from multi_camera_3d_pose_estimation_tpu.models.mirrors.swin import MMPoseSwin, randomize_
 
     from multi_camera_3d_pose_estimation_tpu.models import SwinPose
     from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_swin
@@ -159,7 +159,7 @@ def test_swin_converter_window7_single_window_shift(tmp_path):
 
 def test_swin_converter_rejects_variant_leftovers(tmp_path):
     """Extra tensors (unsupported Swin variant) must abort, not load."""
-    from torch_mmpose_swin import MMPoseSwin, randomize_
+    from multi_camera_3d_pose_estimation_tpu.models.mirrors.swin import MMPoseSwin, randomize_
 
     from multi_camera_3d_pose_estimation_tpu.models import SwinPose
     from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_swin
@@ -175,3 +175,198 @@ def test_swin_converter_rejects_variant_leftovers(tmp_path):
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     with pytest.raises(ValueError, match="unexpected"):
         load_torch_swin(variables, path, SMALL_SWIN)
+
+
+# --------------------------------------------------------------------- #
+# Checkpoint-import drill (VERDICT r3 #4): fuzzed state dicts + the
+# per-stage torch-mirror agreement report.
+# --------------------------------------------------------------------- #
+
+
+def _tree_allclose(a, b):
+    import jax
+
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_hrnet_converter_insensitive_to_key_order_and_prefixes(tmp_path):
+    """A re-saved/merged checkpoint whose dict was rebuilt in arbitrary
+    key order, with mmengine 'backbone.'/'keypoint_head.' prefixes and
+    data_preprocessor buffers, must convert identically to the pristine
+    registration-order dict."""
+    from multi_camera_3d_pose_estimation_tpu.models import HRNet
+    from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_hrnet
+    from multi_camera_3d_pose_estimation_tpu.models.mirrors.hrnet import (
+        MMPoseHRNet,
+        randomize_,
+    )
+
+    cfg = SMALL_HRNET
+    tm = MMPoseHRNet(cfg, num_joints=17)
+    randomize_(tm, seed=3)
+    state = tm.state_dict()
+    clean = str(tmp_path / "clean.pth")
+    torch.save({"state_dict": state}, clean)
+
+    rng = np.random.default_rng(0)
+    keys = list(state.keys())
+    rng.shuffle(keys)
+    messy_dict = {}
+    for k in keys:
+        prefix = "keypoint_head." if k.startswith("final_layer") else "backbone."
+        messy_dict[prefix + k] = state[k]
+    messy_dict["data_preprocessor.mean"] = torch.zeros(3)
+    messy_dict["data_preprocessor.std"] = torch.ones(3)
+    messy = str(tmp_path / "messy.pth")
+    torch.save({"state_dict": messy_dict}, messy)
+
+    model = HRNet(num_joints=17, cfg=cfg, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
+    _tree_allclose(
+        load_torch_hrnet(variables, clean, cfg),
+        load_torch_hrnet(variables, messy, cfg),
+    )
+
+
+def test_hrnet_converter_rejects_unknown_tensors(tmp_path):
+    """Strict-diff: an aux-head / EMA-style extra tensor aborts the load
+    instead of silently misaligning the order-matched streams."""
+    from multi_camera_3d_pose_estimation_tpu.models import HRNet
+    from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_hrnet
+    from multi_camera_3d_pose_estimation_tpu.models.mirrors.hrnet import (
+        MMPoseHRNet,
+        randomize_,
+    )
+
+    cfg = SMALL_HRNET
+    tm = MMPoseHRNet(cfg, num_joints=17)
+    randomize_(tm, seed=4)
+    state = dict(tm.state_dict())
+    state["aux_head.fc.weight"] = torch.zeros(8, 8)
+    path = str(tmp_path / "aux.pth")
+    torch.save({"state_dict": state}, path)
+
+    model = HRNet(num_joints=17, cfg=cfg, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))
+    with pytest.raises(ValueError, match="unexpected tensors"):
+        load_torch_hrnet(variables, path, cfg)
+
+
+TINY_SWIN = {"embed": 24, "depths": (1, 1), "heads": (2, 4), "window": 4,
+             "mlp_ratio": 2, "deconv": (16,)}
+SMALL_RTMPOSE = {"widen": 0.125, "deepen": 0.167, "embed": 32}
+
+
+def _save_mirror_ckpt(family, cfg, tmp_path, seed=0, mutate=None):
+    if family == "hrnet":
+        from multi_camera_3d_pose_estimation_tpu.models.mirrors.hrnet import (
+            MMPoseHRNet, randomize_)
+
+        tm = MMPoseHRNet(cfg, num_joints=17)
+    elif family == "swin":
+        from multi_camera_3d_pose_estimation_tpu.models.mirrors.swin import (
+            MMPoseSwin, randomize_)
+
+        tm = MMPoseSwin(cfg, num_joints=17)
+    else:
+        from multi_camera_3d_pose_estimation_tpu.models.mirrors.rtmpose import (
+            MMPoseRTMPose, randomize_)
+
+        tm = MMPoseRTMPose(cfg, input_size=(32, 64), num_joints=17)
+    randomize_(tm, seed=seed)
+    state = dict(tm.state_dict())
+    if mutate:
+        mutate(state)
+    path = str(tmp_path / f"{family}.pth")
+    torch.save({"state_dict": state}, path)
+    return path
+
+
+@pytest.mark.parametrize("family,cfg", [
+    ("hrnet", SMALL_HRNET),
+    ("swin", TINY_SWIN),
+    ("rtmpose", SMALL_RTMPOSE),
+])
+def test_verify_checkpoint_drill_passes_per_stage(family, cfg, tmp_path):
+    """The one-shot `convert --verify` drill: per-stage torch-mirror
+    agreement on a randomized checkpoint of each family."""
+    from multi_camera_3d_pose_estimation_tpu.models.checkpoint_verify import (
+        format_report,
+        verify_checkpoint,
+    )
+
+    path = _save_mirror_ckpt(family, cfg, tmp_path, seed=7)
+    report = verify_checkpoint(path, family, cfg=cfg, input_size=(32, 64))
+    text = format_report(report)
+    assert report["converted"], text
+    assert report["ok"], text
+    assert len(report["stages"]) >= 3, text
+    assert all(np.isfinite(s["rel"]) for s in report["stages"]), text
+
+
+def test_verify_checkpoint_drill_localizes_converter_bug(tmp_path, monkeypatch):
+    """Plant a converter bug (linear weights imported untransposed) and the
+    drill must FAIL with the divergence localized at the first stage that
+    uses a linear layer — per-layer evidence, not just 'outputs differ'."""
+    from multi_camera_3d_pose_estimation_tpu.models import convert as cv
+    from multi_camera_3d_pose_estimation_tpu.models.checkpoint_verify import (
+        verify_checkpoint,
+    )
+
+    path = _save_mirror_ckpt("swin", TINY_SWIN, tmp_path, seed=8)
+    # The attention `proj` weight is square (C x C), so importing it
+    # untransposed passes every shape check and only the forward
+    # comparison can catch it.  Non-square weights keep the correct
+    # transpose so conversion itself succeeds.
+    monkeypatch.setattr(
+        cv, "_linear_w",
+        lambda a: a if a.shape[0] == a.shape[1] else np.transpose(a))
+    report = verify_checkpoint(path, "swin", cfg=TINY_SWIN,
+                               input_size=(32, 64))
+    assert report["converted"]
+    assert not report["ok"]
+    first_bad = next(s for s in report["stages"] if not s["ok"])
+    assert first_bad["stage"].startswith("stage0"), report["stages"]
+
+
+def test_verify_checkpoint_refuses_shape_drift(tmp_path):
+    """A checkpoint whose tensor shapes don't match the configured model
+    is refused with a diagnostic, not loaded partially."""
+    from multi_camera_3d_pose_estimation_tpu.models.checkpoint_verify import (
+        verify_checkpoint,
+    )
+
+    def mutate(state):
+        k = next(iter([k for k in state if k.endswith("qkv.weight")]))
+        state[k] = torch.zeros(state[k].shape[0] * 2, state[k].shape[1])
+
+    path = _save_mirror_ckpt("swin", TINY_SWIN, tmp_path, seed=9,
+                             mutate=mutate)
+    report = verify_checkpoint(path, "swin", cfg=TINY_SWIN,
+                               input_size=(32, 64))
+    assert not report["converted"]
+    assert "mismatch" in report["error"]
+
+
+@pytest.mark.slow
+def test_w48_and_swin_l_variant_conversion(tmp_path):
+    """The other named checkpoint variants (HRNet-W48, Swin-L: reference
+    examples/model_paths.yaml) convert + agree end-to-end at a small
+    input crop (both models are fully convolutional / windowed)."""
+    from multi_camera_3d_pose_estimation_tpu.models.checkpoint_verify import (
+        format_report,
+        verify_checkpoint,
+    )
+    from multi_camera_3d_pose_estimation_tpu.models.hrnet import HRNET_W48
+    from multi_camera_3d_pose_estimation_tpu.models.swin import SWIN_L
+
+    p1 = _save_mirror_ckpt("hrnet", HRNET_W48, tmp_path, seed=10)
+    r1 = verify_checkpoint(p1, "hrnet", cfg=HRNET_W48, input_size=(32, 64))
+    assert r1["ok"], format_report(r1)
+
+    p2 = _save_mirror_ckpt("swin", SWIN_L, tmp_path, seed=11)
+    r2 = verify_checkpoint(p2, "swin", cfg=SWIN_L, input_size=(64, 64))
+    assert r2["ok"], format_report(r2)
