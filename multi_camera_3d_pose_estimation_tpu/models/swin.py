@@ -218,7 +218,15 @@ class SwinBlock(nn.Module):
     use_pallas: bool | str = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 pre_part: tuple[int, int, int] | None = None,
+                 emit_part: bool = False) -> jax.Array:
+        """``pre_part=(B, H, W)``: ``x`` is already this block's
+        window-order token matrix (chained stage layout — the stage loop
+        moves tokens between blocks with `window_roll_perm` gathers);
+        ``emit_part``: return window-order tokens, pads zeroed.  Both
+        require the fused-block path (the stage loop gates on
+        `feasible_wb` for every block before chaining)."""
         C = x.shape[-1]
         ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         # "block": run the WHOLE block as one Pallas program set
@@ -234,16 +242,26 @@ class SwinBlock(nn.Module):
         if self.use_pallas == "block" and not initializing:
             from ..ops.pallas.swin_block import feasible_wb
 
-            fused_wb = feasible_wb(x.shape, self.heads, self.window,
+            shape4 = (pre_part + (C,)) if pre_part is not None else x.shape
+            fused_wb = feasible_wb(shape4, self.heads, self.window,
                                    self.mlp_ratio)
+        if (pre_part is not None or emit_part) and fused_wb is None:
+            raise ValueError(
+                "chained window layout requires the fused-block path; "
+                "gate the stage on feasible_wb before chaining")
         attn_flag = self.use_pallas
         if attn_flag == "block":
             # Infeasible stage (or init pass) → fall back to the packed
             # attention kernel (einsum at init: params are flag-
             # independent and the kernel has nothing to measure there).
             attn_flag = False if initializing else True
-        xin = (x[:1, :self.window, :self.window, :]
-               if fused_wb is not None else x)
+        if fused_wb is not None:
+            # Param-declaration slab (values unused; shapes drive init).
+            xin = (jnp.zeros((1, self.window, self.window, C), x.dtype)
+                   if pre_part is not None
+                   else x[:1, :self.window, :self.window, :])
+        else:
+            xin = x
         y = nn.LayerNorm(**ln, name="norm1")(xin)
         y = WindowAttention(
             self.heads, self.window, self.shift, dtype=self.dtype,
@@ -268,6 +286,7 @@ class SwinBlock(nn.Module):
             x, self.variables["params"], heads=self.heads,
             window=self.window, shift=self.shift,
             mlp_ratio=self.mlp_ratio, wb=fused_wb,
+            pre_partitioned=pre_part, emit_partitioned=emit_part,
         )
 
 
@@ -338,13 +357,51 @@ class SwinTransformer(nn.Module):
         )(x)
 
         for i, depth in enumerate(depths):
-            for j in range(depth):
-                x = SwinBlock(
+            blocks = [
+                SwinBlock(
                     heads[i], win, shift=(win // 2) if j % 2 else 0,
                     mlp_ratio=mlp_ratio, dtype=self.dtype,
                     use_pallas=self.use_pallas_attention,
                     name=f"stage_{i}_block_{j}",
-                )(x)
+                )
+                for j in range(depth)
+            ]
+            # Chained window layout (PROFILE.md Swin appendix, the 13%
+            # layout item): when every block of the stage runs the fused
+            # kernel, tokens stay in window order BETWEEN blocks — each
+            # reverse→roll→pad→re-partition pair collapses into one
+            # static `window_roll_perm` gather, and the fused kernel
+            # zeroes pad tokens at output so the gather reproduces
+            # mmcv's crop + fresh zero-pad semantics exactly.
+            chain = (
+                self.use_pallas_attention == "block"
+                and not self.is_initializing()
+                and depth > 1
+            )
+            if chain:
+                from ..ops.pallas.swin_block import (feasible_wb,
+                                                     window_roll_perm)
+
+                # Every block of a stage shares (B, H, W, C) and heads,
+                # so one feasibility check covers the whole chain.
+                Bc, Hc, Wc, Cc = x.shape
+                chain = feasible_wb(x.shape, heads[i], win,
+                                    mlp_ratio) is not None
+            if chain:
+                geom = (Bc, Hc, Wc)
+                shifts = [(win // 2) if j % 2 else 0 for j in range(depth)]
+                xw = blocks[0](x, emit_part=True)
+                for j in range(1, depth):
+                    perm = jnp.asarray(
+                        window_roll_perm(Hc, Wc, win, shifts[j - 1],
+                                         shifts[j]))
+                    xw = xw.reshape(Bc, -1, Cc)[:, perm].reshape(-1, Cc)
+                    xw = blocks[j](xw, pre_part=geom,
+                                   emit_part=j < depth - 1)
+                x = xw
+            else:
+                for blk in blocks:
+                    x = blk(x)
             if i < len(depths) - 1:
                 x = PatchMerging(dtype=self.dtype, name=f"downsample_{i}")(x)
 

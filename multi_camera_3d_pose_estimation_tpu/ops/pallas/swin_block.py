@@ -52,7 +52,72 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["feasible_wb", "fused_swin_block"]
+__all__ = [
+    "feasible_wb",
+    "fused_swin_block",
+    "window_partition",
+    "window_reverse",
+    "window_roll_perm",
+]
+
+
+def window_partition(x: jax.Array, win: int, shift: int) -> jax.Array:
+    """(B, H, W, C) image → (B·nW·n, C) window-order tokens (pad + roll +
+    partition, the mmcv ordering).  The kernel's input layout."""
+    B, H, W, C = x.shape
+    pad_b = (win - H % win) % win
+    pad_r = (win - W % win) % win
+    Hp, Wp = H + pad_b, W + pad_r
+    if pad_b or pad_r:
+        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    if shift:
+        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+    xw = x.reshape(B, Hp // win, win, Wp // win, win, C)
+    return xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, C)
+
+
+def window_reverse(xw: jax.Array, B: int, H: int, W: int, win: int,
+                   shift: int) -> jax.Array:
+    """Inverse of `window_partition`: (B·nW·n, C) → (B, H, W, C)."""
+    C = xw.shape[-1]
+    Hp = -(-H // win) * win
+    Wp = -(-W // win) * win
+    out = xw.reshape(B, Hp // win, Wp // win, win, win, C)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    if shift:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    return out[:, :H, :W, :]
+
+
+def _window_origin_index(Hp: int, Wp: int, win: int, shift: int) -> np.ndarray:
+    """(nW·n,) original padded-grid flat index of each window-order token."""
+    oi = (np.arange(Hp) + shift) % Hp
+    oj = (np.arange(Wp) + shift) % Wp
+    grid = oi[:, None] * Wp + oj[None, :]
+    return grid.reshape(Hp // win, win, Wp // win, win).transpose(
+        0, 2, 1, 3).reshape(-1)
+
+
+def window_roll_perm(H: int, W: int, win: int, s_from: int, s_to: int
+                     ) -> np.ndarray:
+    """Static token permutation between two window layouts of one map.
+
+    The layout chain's replacement for the per-block
+    reverse→(un)roll→pad→re-partition copies: consecutive SwinBlocks
+    alternate shift 0 ↔ win//2 over the SAME (H, W) map, so the
+    composition of one block's window reversal with the next block's
+    partition is a fixed permutation of the (nW·n) window-order token
+    rows — ONE gather instead of four layout passes over HBM (the
+    PROFILE.md Swin appendix's 13% layout item).  Returns ``perm`` with
+    ``next_layout[q] = prev_layout[perm[q]]``.
+    """
+    Hp = -(-H // win) * win
+    Wp = -(-W // win) * win
+    a = _window_origin_index(Hp, Wp, win, s_from)
+    b = _window_origin_index(Hp, Wp, win, s_to)
+    inv_a = np.empty(Hp * Wp, np.int64)
+    inv_a[a] = np.arange(a.size)
+    return inv_a[b]
 
 # Conservative VMEM budget for (packing tensor + weights); the v5e
 # accepts ~<78 MB of resident blocks (the wb=16 stage-3 variant OOMs at
@@ -150,7 +215,8 @@ def _block_kernel(xw_ref, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
                   t_ref, rrow_ref, rcol_ref, wproj_ref, bproj_ref,
                   ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
                   out_ref, ctx_ref, *, heads: int, C: int, scale: float,
-                  shifted: bool, padded: bool, san: int, eps: float = 1e-5):
+                  shifted: bool, padded: bool, san: int,
+                  zero_pad_out: bool = False, eps: float = 1e-5):
     f32 = jnp.float32
     bf = xw_ref.dtype
     d = C // heads
@@ -207,19 +273,29 @@ def _block_kernel(xw_ref, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     h1 = jnp.dot(y2, wfc1_ref[:], preferred_element_type=f32) + bfc1_ref[0]
     g = (0.5 * h1 * (1.0 + _erf(h1 * (2.0 ** -0.5)))).astype(bf)
     o2 = jnp.dot(g, wfc2_ref[:], preferred_element_type=f32)
-    out_ref[:] = x2 + (o2.astype(bf) + bfc2_ref[0].astype(bf))
+    res = x2 + (o2.astype(bf) + bfc2_ref[0].astype(bf))
+    if zero_pad_out and padded:
+        # Chained layout mode: pad tokens leave as EXACT zeros, so the
+        # next block's window permutation sees the same re-padded-with-
+        # zeros input mmcv produces by crop + fresh pad.
+        res = res * vpat_ref[0].astype(bf)
+    out_ref[:] = res
 
 
 def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
                      shift: int, mlp_ratio: int, wb: int | None = None,
                      wa: int | None = None,
+                     pre_partitioned: tuple[int, int, int] | None = None,
+                     emit_partitioned: bool = False,
                      interpret: bool | None = None) -> jax.Array:
     """Whole SwinBlock (LN1→attn→+x→LN2→MLP→+) as one Pallas program set.
 
     Not independently jitted: callers trace it inside their own jit
     (mask/valid/region tables are trace-time numpy geometry).
 
-    x:  (B, H, W, C) block input in the model dtype (bf16 on TPU).
+    x:  (B, H, W, C) block input in the model dtype (bf16 on TPU), or —
+        with ``pre_partitioned=(B, H, W)`` — the (B·nW·n, C)
+        window-order tokens of THIS block's layout (`window_partition`).
     p:  the block's flax param subtree (models/swin.py::SwinBlock names):
         norm1/{scale,bias}, attn/{bias_table, qkv/{kernel,bias},
         proj/{kernel,bias}}, norm2/{scale,bias},
@@ -230,7 +306,12 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
         min(wb, 8)) — the dense matmuls run at wb·n rows while scores
         stay block-diagonal at wa·n, so attention waste does not grow
         with wb.
-    Returns (B, H, W, C): the block output (both residuals applied).
+    emit_partitioned: return window-order (B·nW·n, C) tokens WITHOUT the
+        window reversal, with pad tokens zeroed in-kernel — the chained
+        stage layout (`window_roll_perm`): consecutive blocks exchange
+        tokens through one static permutation instead of
+        reverse→roll→pad→re-partition HBM passes.
+    Returns (B, H, W, C) — or (B·nW·n, C) with ``emit_partitioned``.
     """
     # Window geometry tables live with the model (single source of
     # truth); lazy import keeps the ops→models edge call-time-only.
@@ -238,11 +319,15 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, H, W, C = x.shape
+    if pre_partitioned is not None:
+        B, H, W = pre_partitioned
+        C = x.shape[-1]
+    else:
+        B, H, W, C = x.shape
     win = window
     n = win * win
     if wb is None:
-        wb = feasible_wb(x.shape, heads, win, mlp_ratio)
+        wb = feasible_wb((B, H, W, C), heads, win, mlp_ratio)
         if wb is None:
             raise ValueError("no feasible window pack; gate on feasible_wb")
     pad_b = (win - H % win) % win
@@ -261,12 +346,13 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
     padded = bool(pad_b or pad_r)
     bf = x.dtype
 
-    if pad_b or pad_r:
-        x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
-    if shift:
-        x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-    xw = x.reshape(B, Hp // win, win, Wp // win, win, C)
-    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(Bw * n, C)
+    if pre_partitioned is not None:
+        if x.shape != (Bw * n, C):
+            raise ValueError(
+                f"pre-partitioned tokens must be {(Bw * n, C)}, got {x.shape}")
+        xw = x
+    else:
+        xw = window_partition(x, win, shift)
 
     # Packing tensor: relative-position bias tiled across window blocks
     # + −1e5 off the window diagonal (see window_attention.py for why
@@ -321,7 +407,8 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
 
     w_bf = lambda a: a.astype(bf)
     kernel = partial(_block_kernel, heads=heads, C=C, scale=scale,
-                     shifted=shifted, padded=padded, san=san)
+                     shifted=shifted, padded=padded, san=san,
+                     zero_pad_out=emit_partitioned)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -361,8 +448,6 @@ def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,
         w_bf(p["ffn_fc2"]["kernel"]), row_vec(p["ffn_fc2"]["bias"]),
     )
 
-    out = out.reshape(B, Hp // win, Wp // win, win, win, C)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
-    if shift:
-        out = jnp.roll(out, (shift, shift), axis=(1, 2))
-    return out[:, :H, :W, :]
+    if emit_partitioned:
+        return out
+    return window_reverse(out, B, H, W, win, shift)

@@ -187,3 +187,64 @@ def test_fused_requires_gate():
         fused_swin_block(
             jnp.zeros((1, 4, 4, 1024 * 8), jnp.float32),
             v["params"], heads=1, window=4, shift=0, mlp_ratio=4)
+
+
+def test_window_roll_perm_equals_reverse_then_partition():
+    """The chained-layout permutation must equal the composition it
+    replaces: reverse(layout a) -> re-partition(layout b), including the
+    padded rows (compared on the padded grid)."""
+    from multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block import (
+        window_partition,
+        window_roll_perm,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, W, C, win = 2, 10, 9, 8, 4
+    Hp, Wp = 12, 12
+    # Padded-grid image (pads carry distinct values so the perm is pinned
+    # on every row, not just the crop).
+    img = jnp.asarray(rng.normal(size=(B, Hp, Wp, C)), jnp.float32)
+    for s_from, s_to in ((0, 2), (2, 0)):
+        a = np.asarray(window_partition(img, win, s_from)).reshape(B, -1, C)
+        b = np.asarray(window_partition(img, win, s_to)).reshape(B, -1, C)
+        perm = window_roll_perm(Hp, Wp, win, s_from, s_to)
+        np.testing.assert_array_equal(a[:, perm], b)
+    # H/W here are already padded; the helper must also derive the same
+    # perm from unpadded dims.
+    np.testing.assert_array_equal(
+        window_roll_perm(H, W, win, 0, 2), window_roll_perm(Hp, Wp, win, 0, 2)
+    )
+
+
+def test_chained_stage_matches_einsum_with_padding(monkeypatch):
+    """Multi-block stages run the chained window layout (one perm gather
+    between blocks, pads zeroed in-kernel) and must match the einsum
+    model bit-for-tolerance — including window padding and shifted
+    blocks."""
+    import multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block as sb
+
+    flags = []
+    orig = sb.fused_swin_block
+
+    def spy(*a, **k):
+        flags.append((k.get("pre_partitioned") is not None,
+                      k.get("emit_partitioned", False)))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sb, "fused_swin_block", spy)
+    # 64x64 input, window 5: stage maps 16x16 -> Hp=Wp=20 (padded), then
+    # 8x8 -> 10x10 (padded); depths (2,2) -> shifted second blocks.
+    cfg = {"embed": 16, "depths": (2, 2), "heads": (2, 4), "window": 5,
+           "mlp_ratio": 2, "deconv": (16,)}
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    ref_m = SwinPose(num_joints=17, cfg=cfg)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_m.apply(v, x))
+    got = np.asarray(
+        SwinPose(num_joints=17, cfg=cfg, use_pallas_attention="block")
+        .apply(v, x))
+    # chain per stage: block0 (image in, window out), block1 (window in,
+    # image out).
+    assert flags == [(False, True), (True, False)] * 2, flags
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
