@@ -55,8 +55,11 @@ def main():
                         "against the same trained pipeline output, e.g. "
                         '\'{"no_priors": {"lambda_smooth": 0.0, '
                         '"lambda_body_length": 0.0}}\'')
-    p.add_argument("--schedule", choices=("cosine", "constant"),
-                   default="cosine", help="synthetic-trainer lr schedule")
+    p.add_argument("--schedule", choices=("auto", "cosine", "constant"),
+                   default="auto",
+                   help="synthetic-trainer lr schedule; 'auto' picks "
+                        "warmup+cosine for big models and constant for "
+                        "small ones (the measured-safe pairing, PARITY.md)")
     p.add_argument("--workdir", default=None,
                    help="checkpoint dir for the pose trainer (resume after "
                         "a kill); defaults to '<out>.ckpt' when --out is "

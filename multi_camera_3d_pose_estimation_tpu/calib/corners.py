@@ -47,11 +47,50 @@ def find_checkerboard_corners(image, rows: int, columns: int, subpix: bool = Tru
     # NumPy fallback: Harris-like corner response + local maxima, then grid
     # ordering by projecting onto the two dominant directions.  Adequate for
     # clean synthetic boards; real captures should use the cv2 path.
+    # MEASURED on photo-realistic renders (perspective tilt + lighting
+    # gradient + defocus + sensor noise,
+    # tests/test_calibration.py::test_corner_detection_accuracy_photoreal…):
+    # the raw Harris picks drift onto texture/noise and the ordered grid
+    # can be garbage (~170 px mean error observed) — far below cv2's
+    # sub-pixel result on the same image.  A silently wrong grid poisons
+    # the whole calibration, so the fallback VALIDATES its lattice and
+    # honestly returns found=False when it is not checkerboard-shaped.
     corners = _harris_corners(img, rows * columns)
     if corners is None or len(corners) < rows * columns:
         return False, None
     ordered = _order_grid(corners[: rows * columns], rows, columns)
+    if not _grid_is_plausible(ordered, rows, columns):
+        return False, None
     return True, ordered.astype(np.float32)
+
+
+def _grid_is_plausible(ordered: np.ndarray, rows: int, columns: int,
+                       spacing_tol: float = 0.5, align_tol: float = 0.9
+                       ) -> bool:
+    """Checkerboard-lattice sanity check for the fallback detector.
+
+    A (mildly) perspective-projected lattice has, along every row, step
+    vectors that are near-parallel (cosine > ``align_tol``) with spacing
+    varying smoothly (each step within ``spacing_tol``·median of the
+    row's median step); same along columns.  Noise-driven Harris picks
+    fail this decisively (measured: garbage grids score cosines < 0.5).
+    """
+    g = ordered.reshape(rows, columns, 2)
+
+    def consistent(steps: np.ndarray) -> bool:
+        # steps: (..., n_steps, 2) along one axis.
+        norms = np.linalg.norm(steps, axis=-1)
+        if np.any(norms < 1e-6):
+            return False
+        med = np.median(norms)
+        if np.any(np.abs(norms - med) > spacing_tol * med):
+            return False
+        unit = steps / norms[..., None]
+        mean_dir = unit.reshape(-1, 2).mean(0)
+        mean_dir /= max(np.linalg.norm(mean_dir), 1e-9)
+        return bool(np.all(unit @ mean_dir > align_tol))
+
+    return consistent(np.diff(g, axis=1)) and consistent(np.diff(g, axis=0))
 
 
 def refine_corners_subpixel(gray: np.ndarray, corners: np.ndarray, win: int = 11):
@@ -100,5 +139,5 @@ def _order_grid(pts: np.ndarray, rows: int, columns: int):
     _, _, Vt = np.linalg.svd(c, full_matrices=False)
     u = c @ Vt[0]
     v = c @ Vt[1]
-    order = np.lexsort((u, np.round(v / (v.ptp() / max(rows - 1, 1) + 1e-9))))
+    order = np.lexsort((u, np.round(v / (np.ptp(v) / max(rows - 1, 1) + 1e-9))))
     return pts[order]

@@ -141,11 +141,48 @@ def _run_train_loop(state, step_fn, sample_batch, steps: int,
     return state, float(loss)
 
 
+# Below this parameter count, warmup+cosine at the shared peak lr is the
+# MEASURED-bad combination (PARITY.md: test_small_192x256 at 5000 steps —
+# constant 10.96 mm vs cosine 146 mm, outlier-driven late-training
+# instability); the big models need the decay tail instead (flagship W32:
+# cosine 9.8 mm vs constant 15.8 mm).  "auto" picks per capacity.
+_COSINE_MIN_PARAMS = 5_000_000
+
+
+def _resolve_schedule(schedule: str, model, input_size) -> str:
+    """Map "auto" to a measured-safe schedule for this model's capacity;
+    warn (but honor) an explicit known-bad choice."""
+    import jax
+    import jax.numpy as jnp
+
+    if schedule not in ("auto", "cosine", "constant"):
+        raise ValueError(f"unknown schedule '{schedule}'")
+    in_w, in_h = input_size
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, in_h, in_w, 3), jnp.float32),
+    )
+    n_params = sum(int(np.prod(s.shape))
+                   for s in jax.tree.leaves(shapes["params"]))
+    small = n_params < _COSINE_MIN_PARAMS
+    if schedule == "auto":
+        return "constant" if small else "cosine"
+    if schedule == "cosine" and small:
+        print(
+            f"WARNING: warmup+cosine at this peak lr measured UNSTABLE for "
+            f"small models ({n_params / 1e6:.1f}M params < "
+            f"{_COSINE_MIN_PARAMS / 1e6:.0f}M: 10.96 mm constant vs 146 mm "
+            f"cosine, PARITY.md) — consider schedule='constant'/'auto'."
+        )
+    return schedule
+
+
 def _make_tx(lr: float, steps: int, schedule: str, grad_clip: float = 1.0):
     """Optimizer for the synthetic trainers.  ``schedule="cosine"`` wraps
     the peak lr in linear warmup (5% of steps) + cosine decay — the fix
     for the flagship W32's slow convergence at fixed lr (VERDICT r2 weak
-    #3: big models need the decay tail to close the final error)."""
+    #3: big models need the decay tail to close the final error).  The
+    trainers resolve "auto" via `_resolve_schedule` before calling."""
     import optax
 
     if schedule == "cosine":
@@ -165,7 +202,7 @@ def _make_tx(lr: float, steps: int, schedule: str, grad_clip: float = 1.0):
 def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
                          model_name: str = "test_small_128", lr: float = 3e-3,
                          sigma: float = 1.5, seed: int = 0,
-                         schedule: str = "cosine",
+                         schedule: str = "auto",
                          checkpoint_path: str | None = None,
                          checkpoint_every: int = 500):
     """Train a heatmap model (HRNet or Swin family, per the registry
@@ -199,6 +236,7 @@ def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
         return heatmap_mse_loss(jnp.moveaxis(outputs, -1, 1), b["targets"],
                                 b["weights"])
 
+    schedule = _resolve_schedule(schedule, model, (in_w, in_h))
     init_fn, step_fn = make_train_step(model, loss_fn,
                                        tx=_make_tx(lr, steps, schedule))
     state = init_fn(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
@@ -210,7 +248,7 @@ def train_synthetic_pose(scene, steps: int = 400, batch: int = 8,
 
 def train_synthetic_simcc(scene, steps: int = 400, batch: int = 8,
                           model_name: str = "coco_rtmpose-t", lr: float = 3e-3,
-                          seed: int = 0, schedule: str = "cosine",
+                          seed: int = 0, schedule: str = "auto",
                           checkpoint_path: str | None = None,
                           checkpoint_every: int = 500):
     """Train an RTMPose SimCC model on person crops (BASELINE config 3's
@@ -240,6 +278,7 @@ def train_synthetic_simcc(scene, steps: int = 400, batch: int = 8,
         px, py = outputs
         return simcc_kl_loss(px, py, b["lx"], b["ly"], b["w"])
 
+    schedule = _resolve_schedule(schedule, model, (in_w, in_h))
     init_fn, step_fn = make_train_step(model, loss_fn,
                                        tx=_make_tx(lr, steps, schedule))
     state = init_fn(jax.random.PRNGKey(seed), jnp.zeros((1, in_h, in_w, 3)))
@@ -265,7 +304,7 @@ def run_accuracy_harness(
     sgd_refine: bool = False,
     sgd_kwargs: dict | None = None,
     sgd_variants: dict[str, dict] | None = None,
-    schedule: str = "cosine",
+    schedule: str = "auto",
     workdir: str | None = None,
     det_select: str = "top1",
 ):

@@ -254,3 +254,26 @@ def test_make_crop_batch_simcc(rng):
     assert batch["images"].shape == (2, 64, 32, 3)
     assert batch["lx"].shape == (2, 17, 64)
     assert batch["ly"].shape == (2, 17, 128)
+
+
+def test_schedule_auto_resolves_by_capacity(capsys):
+    """VERDICT r3 #5 guardrail: 'auto' gives small models the measured-safe
+    constant schedule and big models warmup+cosine; an explicit cosine on
+    a small model warns with the measured numbers."""
+    import jax.numpy as jnp
+
+    from multi_camera_3d_pose_estimation_tpu.models.hrnet import HRNET_W32, HRNet
+    from multi_camera_3d_pose_estimation_tpu.models.registry import MODEL_REGISTRY
+    from multi_camera_3d_pose_estimation_tpu.training.harness import (
+        _resolve_schedule,
+    )
+
+    small_spec = MODEL_REGISTRY["test_small_192x256"]
+    small = HRNet(num_joints=17, cfg=small_spec["cfg"], dtype=jnp.float32)
+    big = HRNet(num_joints=17, cfg=HRNET_W32, dtype=jnp.float32)
+    assert _resolve_schedule("auto", small, small_spec["input_size"]) == "constant"
+    assert _resolve_schedule("auto", big, (192, 256)) == "cosine"
+    capsys.readouterr()
+    assert _resolve_schedule("cosine", small, small_spec["input_size"]) == "cosine"
+    assert "UNSTABLE" in capsys.readouterr().out
+    assert _resolve_schedule("constant", big, (192, 256)) == "constant"
