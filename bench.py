@@ -373,12 +373,17 @@ def bench_stream(synthetic_device_source: bool = False):
                 return self._inner.run(buf, bboxes)
 
         pipe = _DeviceSwapPipe(pipe)
+    # The frame source itself must NOT device_put in device-source mode
+    # (it stages blocks inside its iterator otherwise — the upload this
+    # mode exists to exclude).
+    stage = not synthetic_device_source
     # Warmup pass: compiles the full-block program (and the tail-block
     # shape is padded to `block`, so one shape covers every block).
-    run_pipeline_on_videos(pipe, paths, block_size=block, progress=False)
+    run_pipeline_on_videos(pipe, paths, block_size=block, progress=False,
+                           stage_blocks=stage)
     t0 = time.perf_counter()
     k2, hm, k3 = run_pipeline_on_videos(pipe, paths, block_size=block,
-                                        progress=False)
+                                        progress=False, stage_blocks=stage)
     dt = time.perf_counter() - t0
     assert k3.shape[0] == T, k3.shape
     fps = T / dt

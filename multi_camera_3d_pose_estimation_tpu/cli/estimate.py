@@ -36,6 +36,7 @@ def run_pipeline_on_videos(
     progress: bool = True,
     inflight: int = 2,
     on_block=None,
+    stage_blocks: bool = True,
 ):
     """Stream videos through the jitted pipeline; returns stacked results.
 
@@ -56,7 +57,8 @@ def run_pipeline_on_videos(
     """
     from collections import deque
 
-    frames_src = BatchedFramePipeline(video_paths, block_size=block_size)
+    frames_src = BatchedFramePipeline(video_paths, block_size=block_size,
+                                      stage_to_device=stage_blocks)
     kpts_2d, heatmaps, kpts_3d = [], [], []
     n_done = 0
 

@@ -202,7 +202,7 @@ class BatchedFramePipeline:
     """
 
     def __init__(self, video_paths, block_size: int = 16, device=None,
-                 queue_depth: int = 2):
+                 queue_depth: int = 2, stage_to_device: bool = True):
         self.readers = [VideoReader(p) for p in video_paths]
         hw = {(r.height, r.width) for r in self.readers}
         if len(hw) != 1:
@@ -211,6 +211,10 @@ class BatchedFramePipeline:
         self.block_size = block_size
         self.n_cams = len(self.readers)
         self.device = device
+        # ``stage_to_device=False`` yields HOST blocks (uint8 numpy) —
+        # for consumers that substitute their own device buffers (the
+        # `bench.py stream_device` H2D-isolation mode) or stage later.
+        self.stage_to_device = bool(stage_to_device)
         self._q: Queue = Queue(maxsize=queue_depth)
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
@@ -239,6 +243,9 @@ class BatchedFramePipeline:
             if item is None:
                 return
             host_block, n = item
+            if not self.stage_to_device:
+                yield host_block, n
+                continue
             dev_block = (
                 jax.device_put(host_block, self.device)
                 if self.device is not None
