@@ -220,14 +220,48 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array,
                  pre_part: tuple[int, int, int] | None = None,
-                 emit_part: bool = False) -> jax.Array:
+                 emit_part: bool = False,
+                 fixed_geom: tuple[int, int, int] | None = None,
+                 fixed_cp: int = 1) -> jax.Array:
         """``pre_part=(B, H, W)``: ``x`` is already this block's
         window-order token matrix (chained stage layout — the stage loop
         moves tokens between blocks with `window_roll_perm` gathers);
         ``emit_part``: return window-order tokens, pads zeroed.  Both
         require the fused-block path (the stage loop gates on
-        `feasible_wb` for every block before chaining)."""
+        `feasible_wb` for every block before chaining).
+        ``fixed_geom=(B, H, W)``: ``x`` is the stage's FIXED-ORDER crop
+        packs (`ops.pallas.swin_block.fixed_partition`) — in and out;
+        shifted blocks differ only by their additive table, so the stage
+        loop chains blocks with ZERO layout ops (gate on
+        `feasible_fixed`)."""
         C = x.shape[-1]
+        if fixed_geom is not None and not self.is_initializing():
+            if self.use_pallas != "block":
+                raise ValueError(
+                    "fixed-order layout requires use_pallas='block'")
+            # Param-declaration via the slab path below never runs for
+            # fixed mode (apply-time only); declare through the regular
+            # submodules on a dummy slab to keep the variable tree
+            # identical, then call the fixed kernel.
+            slab = jnp.zeros((1, self.window, self.window, C), x.dtype)
+            ln = dict(epsilon=1e-5, dtype=self.dtype,
+                      param_dtype=jnp.float32)
+            y = nn.LayerNorm(**ln, name="norm1")(slab)
+            y = WindowAttention(self.heads, self.window, self.shift,
+                                dtype=self.dtype, use_pallas=False,
+                                name="attn")(y)
+            y2 = nn.LayerNorm(**ln, name="norm2")(slab)
+            y2 = nn.Dense(self.mlp_ratio * C, dtype=self.dtype,
+                          param_dtype=jnp.float32, name="ffn_fc1")(y2)
+            nn.Dense(C, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="ffn_fc2")(y2)
+            from ..ops.pallas.swin_block import fused_swin_block_fixed
+
+            return fused_swin_block_fixed(
+                x, self.variables["params"], heads=self.heads,
+                window=self.window, shift=self.shift,
+                mlp_ratio=self.mlp_ratio, geom=fixed_geom, cp=fixed_cp,
+            )
         ln = dict(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32)
         # "block": run the WHOLE block as one Pallas program set
         # (ops/pallas/swin_block.py) when the stage's weights + packing
@@ -378,8 +412,12 @@ class SwinTransformer(nn.Module):
                 and not self.is_initializing()
                 and depth > 1
             )
+            fixed_cp = None
             if chain:
-                from ..ops.pallas.swin_block import (feasible_wb,
+                from ..ops.pallas.swin_block import (feasible_fixed,
+                                                     feasible_wb,
+                                                     fixed_partition,
+                                                     fixed_reverse,
                                                      window_roll_perm)
 
                 # Every block of a stage shares (B, H, W, C) and heads,
@@ -387,7 +425,26 @@ class SwinTransformer(nn.Module):
                 Bc, Hc, Wc, Cc = x.shape
                 chain = feasible_wb(x.shape, heads[i], win,
                                     mlp_ratio) is not None
-            if chain:
+                # Fixed-order layout beats the chained gathers whenever
+                # its full (heads, cp·P, cp·P) table fits VMEM (all but
+                # Swin-B/L stage 0); MC3D_SWIN_FIXED=0 keeps the chained
+                # path for A/B, and a comma list of channel widths
+                # ("512,1024") enables it per stage.
+                import os
+
+                env = os.environ.get("MC3D_SWIN_FIXED", "1")
+                on = (env != "0" if env in ("0", "1")
+                      else str(Cc) in env.split(","))
+                if chain and on:
+                    fixed_cp = feasible_fixed(x.shape, heads[i], win,
+                                              mlp_ratio)
+            if chain and fixed_cp is not None:
+                geom = (Bc, Hc, Wc)
+                xw = fixed_partition(x, win)
+                for j in range(depth):
+                    xw = blocks[j](xw, fixed_geom=geom, fixed_cp=fixed_cp)
+                x = fixed_reverse(xw, Bc, Hc, Wc, win)
+            elif chain:
                 geom = (Bc, Hc, Wc)
                 shifts = [(win // 2) if j % 2 else 0 for j in range(depth)]
                 xw = blocks[0](x, emit_part=True)

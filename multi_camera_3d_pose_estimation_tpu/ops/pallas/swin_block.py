@@ -53,8 +53,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "feasible_fixed",
     "feasible_wb",
+    "fixed_partition",
+    "fixed_reverse",
     "fused_swin_block",
+    "fused_swin_block_fixed",
     "window_partition",
     "window_reverse",
     "window_roll_perm",
@@ -118,6 +122,91 @@ def window_roll_perm(H: int, W: int, win: int, s_from: int, s_to: int
     inv_a = np.empty(Hp * Wp, np.int64)
     inv_a[a] = np.arange(a.size)
     return inv_a[b]
+
+def _fixed_geom(H: int, W: int, win: int, shift: int):
+    """Token geometry of one crop in FIXED (unshifted window) order.
+
+    The fixed-order stage layout (`fused_swin_block_fixed`) keeps tokens
+    in shift-0 window order for EVERY block of a stage; a shifted
+    block's attention groups (the shifted windows) are then just a
+    different partition of the same token rows, expressible as an
+    id-equality mask — no roll, no re-partition, no inter-block
+    permutation.  Returns, per fixed-order row q of the P-row crop pack
+    (P = nW·n rounded up to the 8-sublane tile):
+
+    - ``ws``  (P,) attention-group id: the block's (shifted) window id,
+      negative-unique for the P−nW·n alignment rows (self-attend only);
+    - ``ks``  (P,) within-(shifted)-window flat position, indexing
+      `_rel_position_index(win)` for the relative-position bias;
+    - ``reg`` (P,) wrap-region id (`models.swin._shift_regions` bands):
+      same window + different region pairs get the einsum path's −100;
+    - ``valid`` (P,) 1.0 for real (unpadded-map) tokens — the mmcv
+      "pad the LN1 output with zeros" semantics, like `_valid_mask`;
+    - ``P`` rows per crop pack.
+    """
+    Hp = -(-H // win) * win
+    Wp = -(-W // win) * win
+    Ww = Wp // win
+    n = win * win
+    nWn = Hp * Wp
+    q = np.arange(nWn)
+    w, k = q // n, q % n
+    gr = (w // Ww) * win + k // win  # padded-grid position (unrolled)
+    gc = (w % Ww) * win + k % win
+    if shift:
+        # window_partition rolls by (−shift, −shift): original index g
+        # lands at rolled position (g − shift) mod dim.
+        pr = (gr - shift) % Hp
+        pc = (gc - shift) % Wp
+        img = np.zeros((Hp, Wp), np.int32)
+        cnt = 0
+        for hs in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+            for vs in (slice(0, -win), slice(-win, -shift), slice(-shift, None)):
+                img[hs, vs] = cnt
+                cnt += 1
+        reg = img[pr, pc]
+    else:
+        pr, pc = gr, gc
+        reg = np.zeros(nWn, np.int32)
+    ws = (pr // win) * Ww + pc // win
+    ks = (pr % win) * win + pc % win
+    valid = ((gr < H) & (gc < W)).astype(np.float32)
+    P = -(-nWn // 8) * 8
+    pad = P - nWn
+    if pad:
+        ws = np.concatenate([ws, -1 - np.arange(pad)])
+        ks = np.concatenate([ks, np.zeros(pad, ks.dtype)])
+        reg = np.concatenate([reg, np.zeros(pad, np.int32)])
+        valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+    return ws, ks, reg, valid, P
+
+
+def fixed_partition(x: jax.Array, win: int) -> jax.Array:
+    """(B, H, W, C) → (B·P, C) fixed-order crop packs (shift-0 window
+    order, each crop row-padded to the 8-sublane tile)."""
+    B, H, W, C = x.shape
+    Hp = -(-H // win) * win
+    Wp = -(-W // win) * win
+    nWn = Hp * Wp
+    P = -(-nWn // 8) * 8
+    xw = window_partition(x, win, 0)
+    if P != nWn:
+        xw = jnp.pad(xw.reshape(B, nWn, C), ((0, 0), (0, P - nWn), (0, 0)))
+    return xw.reshape(-1, C)
+
+
+def fixed_reverse(xw: jax.Array, B: int, H: int, W: int, win: int
+                  ) -> jax.Array:
+    """Inverse of `fixed_partition`: (B·P, C) → (B, H, W, C)."""
+    C = xw.shape[-1]
+    Hp = -(-H // win) * win
+    Wp = -(-W // win) * win
+    nWn = Hp * Wp
+    P = -(-nWn // 8) * 8
+    if P != nWn:
+        xw = xw.reshape(B, P, C)[:, :nWn]
+    return window_reverse(xw.reshape(-1, C), B, H, W, win, 0)
+
 
 # Conservative VMEM budget for (packing tensor + weights); the v5e
 # accepts ~<78 MB of resident blocks (the wb=16 stage-3 variant OOMs at
@@ -193,6 +282,143 @@ def feasible_wb(x_shape, heads: int, window: int, mlp_ratio: int,
         if heads * san * san * 4 + wbytes + act <= _VMEM_BUDGET:
             return cand
     return None
+
+
+def _lanes(m: int) -> int:
+    """Round up to the 128-lane tile (Mosaic pads minor dims to 128)."""
+    return -(-m // 128) * 128
+
+
+def feasible_fixed(x_shape, heads: int, window: int, mlp_ratio: int,
+                   ) -> int | None:
+    """Crops per program (cp) for the fixed-order block kernel, or None.
+
+    The fixed-order pack replaces the (heads, san, san) bias+offdiag
+    tile with a FULL (heads, cp·P, cp·P) table (bias + window-id mask +
+    wrap-region mask folded together), so feasibility is bounded by the
+    table: stage 0 of Swin-B (P=3432, heads 4) wants ~188 MB and falls
+    back to the chained layout; stages 1-3 fit comfortably.
+    """
+    import os
+
+    B, H, W, C = x_shape
+    Hp = -(-H // window) * window
+    Wp = -(-W // window) * window
+    P = -(-(Hp * Wp) // 8) * 8
+    wbytes = 2 * (C * 3 * C + C * C + 2 * mlp_ratio * C * C)
+    env = os.environ.get("MC3D_SWIN_CP", "")
+    cands = tuple(int(v) for v in env.split(",") if v.strip()) or (1, 2)
+    for cp in cands:
+        if B % cp:
+            continue
+        Pn = cp * P
+        tbytes = heads * Pn * _lanes(Pn) * 4
+        act = Pn * C * 28  # x/qkv/ctx/MLP-hidden per program (est.)
+        score = 2 * Pn * _lanes(Pn) * 4  # s + p transients per head
+        if tbytes + wbytes + act + score <= _VMEM_BUDGET:
+            return cp
+    return None
+
+
+def fused_swin_block_fixed(x: jax.Array, p: dict, *, heads: int,
+                           window: int, shift: int, mlp_ratio: int,
+                           geom: tuple[int, int, int], cp: int = 1,
+                           interpret: bool | None = None) -> jax.Array:
+    """Whole SwinBlock on FIXED-ORDER crop packs — zero layout between
+    blocks of a stage.
+
+    ``x`` is the (B·P, C) fixed-order token matrix (`fixed_partition`);
+    the output is the SAME layout, so consecutive blocks chain with NO
+    gather/roll/pad in between (vs `fused_swin_block`'s
+    ``emit_partitioned`` chained mode, which still pays one
+    `window_roll_perm` HBM gather per transition and a distinct rolled
+    layout for shifted blocks).  A shifted block differs from an
+    unshifted one ONLY in its additive table: t[h,i,j] = rel-pos bias at
+    the pair's within-shifted-window offsets, −100 added across wrap
+    regions (the einsum path's `_shift_mask` value), −1e5 across
+    different windows (softmax-exact-zero packing, see
+    window_attention.py).  Numerics match `fused_swin_block` which
+    matches the flax einsum path (same `_block_kernel`).
+
+    Replaces the same reference behavior as `fused_swin_block` (MMPose
+    Swin backbone blocks, zoo `td-hm_swin-b-p4-w7`).
+    """
+    from ...models.swin import _rel_position_index
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W = geom
+    C = x.shape[-1]
+    win = window
+    ws, ks, reg, valid, P = _fixed_geom(H, W, win, shift)
+    if x.shape != (B * P, C):
+        raise ValueError(
+            f"fixed-order tokens must be {(B * P, C)}, got {x.shape}")
+    if B % cp:
+        raise ValueError(f"cp={cp} must divide B={B}")
+    Pn = cp * P
+    scale = float((C // heads) ** -0.5)
+    bf = x.dtype
+
+    # Full additive table: bias + window-id mask + wrap-region mask.
+    pair = _rel_position_index(win)[ks[:, None], ks[None, :]]  # (P, P)
+    base = np.where(
+        ws[:, None] == ws[None, :],
+        np.where(reg[:, None] == reg[None, :], 0.0, -100.0),
+        -1e5).astype(np.float32)
+    bias = p["attn"]["bias_table"][pair].transpose(2, 0, 1)  # (heads, P, P)
+    t = bias.astype(jnp.float32) + base
+    if cp > 1:
+        diag = np.kron(np.eye(cp, dtype=bool), np.ones((P, P), bool))
+        t = jnp.where(diag, jnp.tile(t, (1, cp, cp)), jnp.float32(-1e5))
+    vpat = jnp.asarray(np.tile(valid, cp)[None, :, None])
+    # Dummy region tables (masking lives entirely in t → shifted=False).
+    rrow = jnp.zeros((1, Pn, 1), jnp.float32)
+    rcol = jnp.zeros((1, 1, Pn), jnp.float32)
+
+    def row_vec(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    w_bf = lambda a: a.astype(bf)
+    kernel = partial(_block_kernel, heads=heads, C=C, scale=scale,
+                     shifted=False, padded=True, san=Pn,
+                     zero_pad_out=False)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B * P, C), bf),
+        grid=(B // cp,),
+        in_specs=[
+            pl.BlockSpec((Pn, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const((1, Pn, 1)),
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)), const((1, 3 * C)),
+            const((heads, Pn, Pn)),
+            const((1, Pn, 1)), const((1, 1, Pn)),
+            const((C, C)), const((1, C)),
+            const((1, C)), const((1, C)),
+            const((C, mlp_ratio * C)), const((1, mlp_ratio * C)),
+            const((mlp_ratio * C, C)), const((1, C)),
+        ],
+        out_specs=pl.BlockSpec((Pn, C), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Pn, C), bf)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        x, vpat,
+        row_vec(p["norm1"]["scale"]), row_vec(p["norm1"]["bias"]),
+        w_bf(p["attn"]["qkv"]["kernel"]), row_vec(p["attn"]["qkv"]["bias"]),
+        t, rrow, rcol,
+        w_bf(p["attn"]["proj"]["kernel"]), row_vec(p["attn"]["proj"]["bias"]),
+        row_vec(p["norm2"]["scale"]), row_vec(p["norm2"]["bias"]),
+        w_bf(p["ffn_fc1"]["kernel"]), row_vec(p["ffn_fc1"]["bias"]),
+        w_bf(p["ffn_fc2"]["kernel"]), row_vec(p["ffn_fc2"]["bias"]),
+    )
 
 
 def _erf(x: jax.Array) -> jax.Array:

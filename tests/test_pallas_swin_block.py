@@ -232,6 +232,9 @@ def test_chained_stage_matches_einsum_with_padding(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(sb, "fused_swin_block", spy)
+    # This test pins the CHAINED layout specifically; the fixed-order
+    # layout (default when feasible) is pinned by the tests below.
+    monkeypatch.setenv("MC3D_SWIN_FIXED", "0")
     # 64x64 input, window 5: stage maps 16x16 -> Hp=Wp=20 (padded), then
     # 8x8 -> 10x10 (padded); depths (2,2) -> shifted second blocks.
     cfg = {"embed": 16, "depths": (2, 2), "heads": (2, 4), "window": 5,
@@ -248,3 +251,111 @@ def test_chained_stage_matches_einsum_with_padding(monkeypatch):
     # image out).
     assert flags == [(False, True), (True, False)] * 2, flags
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
+
+
+@pytest.mark.parametrize("shift,cp", [(0, 1), (2, 1), (2, 2)])
+def test_fixed_block_matches_flax_padded(shift, cp):
+    """Fixed-order crop packs: window 5 on a 16x18 map pads both dims AND
+    the pack rows (nW·n=400 -> P=400; use 16x17 -> still 400... use a
+    geometry whose nW·n is not a multiple of 8 via window 3)."""
+    from multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block import (
+        fixed_partition,
+        fixed_reverse,
+        fused_swin_block_fixed,
+    )
+
+    rng = np.random.default_rng(11)
+    B, H, W, C, win, heads = 2, 16, 18, 32, 5, 2
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    m = SwinBlock(heads=heads, window=win, shift=shift, mlp_ratio=2,
+                  dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m.apply(v, x))
+    out = fused_swin_block_fixed(
+        fixed_partition(x, win), v["params"], heads=heads, window=win,
+        shift=shift, mlp_ratio=2, geom=(B, H, W), cp=cp, interpret=True)
+    got = np.asarray(fixed_reverse(out, B, H, W, win))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_fixed_block_alignment_rows():
+    """A geometry where nW·n is NOT a multiple of 8 (window 3 -> n=9,
+    6x6 map -> nW=4, nW·n=36 -> P=40): the 4 alignment rows must be
+    masked out of every real token's attention."""
+    from multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block import (
+        _fixed_geom,
+        fixed_partition,
+        fixed_reverse,
+        fused_swin_block_fixed,
+    )
+
+    ws, ks, reg, valid, P = _fixed_geom(6, 6, 3, 1)
+    assert P == 40 and (ws[36:] < 0).all() and valid[36:].sum() == 0
+    rng = np.random.default_rng(12)
+    B, H, W, C, win, heads = 2, 6, 6, 16, 3, 2
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    m = SwinBlock(heads=heads, window=win, shift=1, mlp_ratio=2,
+                  dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(m.apply(v, x))
+    xw = fixed_partition(x, win)
+    # Corrupt the alignment rows with huge values: real-token outputs
+    # must not move (mask + valid-zeroing isolate them).
+    xw = xw.reshape(B, P, C).at[:, 36:].set(1e3).reshape(-1, C)
+    out = fused_swin_block_fixed(
+        xw, v["params"], heads=heads, window=win, shift=1, mlp_ratio=2,
+        geom=(B, H, W), cp=1, interpret=True)
+    got = np.asarray(fixed_reverse(out, B, H, W, win))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
+
+
+def test_fixed_stage_matches_einsum_with_padding(monkeypatch):
+    """Full model on the fixed-order layout (the default): multi-block
+    stages must run `fused_swin_block_fixed` with ZERO inter-block
+    layout ops and match the einsum model."""
+    import multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block as sb
+
+    fixed_calls, chained_calls = [], []
+    orig_f = sb.fused_swin_block_fixed
+    monkeypatch.setattr(
+        sb, "fused_swin_block_fixed",
+        lambda *a, **k: (fixed_calls.append(k.get("shift")), orig_f(*a, **k))[1])
+    orig_c = sb.fused_swin_block
+    monkeypatch.setattr(
+        sb, "fused_swin_block",
+        lambda *a, **k: (chained_calls.append(1), orig_c(*a, **k))[1])
+    monkeypatch.setenv("MC3D_SWIN_FIXED", "1")
+    cfg = {"embed": 16, "depths": (2, 2), "heads": (2, 4), "window": 5,
+           "mlp_ratio": 2, "deconv": (16,)}
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    ref_m = SwinPose(num_joints=17, cfg=cfg)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_m.apply(v, x))
+    got = np.asarray(
+        SwinPose(num_joints=17, cfg=cfg, use_pallas_attention="block")
+        .apply(v, x))
+    assert fixed_calls == [0, 2, 0, 2], fixed_calls
+    assert not chained_calls, "chained path ran despite fixed being feasible"
+    np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
+
+
+def test_fixed_env_gate_per_stage(monkeypatch):
+    """MC3D_SWIN_FIXED as a channel list enables fixed-order per stage."""
+    import multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block as sb
+
+    fixed_geoms = []
+    orig_f = sb.fused_swin_block_fixed
+    monkeypatch.setattr(
+        sb, "fused_swin_block_fixed",
+        lambda *a, **k: (fixed_geoms.append(a[0].shape[-1]), orig_f(*a, **k))[1])
+    monkeypatch.setenv("MC3D_SWIN_FIXED", "32")
+    cfg = {"embed": 16, "depths": (2, 2), "heads": (2, 4), "window": 5,
+           "mlp_ratio": 2, "deconv": (16,)}
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    m = SwinPose(num_joints=17, cfg=cfg, use_pallas_attention="block")
+    v = SwinPose(num_joints=17, cfg=cfg).init(jax.random.PRNGKey(0), x)
+    m.apply(v, x)
+    # Only the C=32 (second) stage may use the fixed kernel.
+    assert fixed_geoms and set(fixed_geoms) == {32}, fixed_geoms
