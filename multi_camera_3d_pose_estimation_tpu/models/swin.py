@@ -439,10 +439,20 @@ class SwinTransformer(nn.Module):
                     fixed_cp = feasible_fixed(x.shape, heads[i], win,
                                               mlp_ratio)
             if chain and fixed_cp is not None:
+                from ..ops.pallas.swin_block import fused_swin_stage_fixed
+
                 geom = (Bc, Hc, Wc)
-                xw = fixed_partition(x, win)
-                for j in range(depth):
-                    xw = blocks[j](xw, fixed_geom=geom, fixed_cp=fixed_cp)
+                shifts = [(win // 2) if j % 2 else 0 for j in range(depth)]
+                # The stage-level call groups G blocks per Pallas program
+                # (feasible_chain_group): x round-trips HBM once per
+                # group.  Params come from the parent's variable tree —
+                # the SwinBlock modules declared them at init.
+                plist = [self.variables["params"][f"stage_{i}_block_{j}"]
+                         for j in range(depth)]
+                xw = fused_swin_stage_fixed(
+                    fixed_partition(x, win), plist, heads=heads[i],
+                    window=win, shifts=shifts, mlp_ratio=mlp_ratio,
+                    geom=geom, cp=fixed_cp)
                 x = fixed_reverse(xw, Bc, Hc, Wc, win)
             elif chain:
                 geom = (Bc, Hc, Wc)

@@ -53,12 +53,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
+    "feasible_chain_group",
     "feasible_fixed",
     "feasible_wb",
     "fixed_partition",
     "fixed_reverse",
     "fused_swin_block",
     "fused_swin_block_fixed",
+    "fused_swin_stage_fixed",
     "window_partition",
     "window_reverse",
     "window_roll_perm",
@@ -320,6 +322,145 @@ def feasible_fixed(x_shape, heads: int, window: int, mlp_ratio: int,
     return None
 
 
+def _fixed_table(p: dict, win: int, ws, ks, reg, cp: int):
+    """Full additive attention table for one block on fixed-order packs:
+    rel-pos bias + window-id mask (−1e5) + wrap-region mask (−100),
+    block-diagonal across the cp crops of a pack."""
+    from ...models.swin import _rel_position_index
+
+    P = ws.shape[0]
+    pair = _rel_position_index(win)[ks[:, None], ks[None, :]]  # (P, P)
+    base = np.where(
+        ws[:, None] == ws[None, :],
+        np.where(reg[:, None] == reg[None, :], 0.0, -100.0),
+        -1e5).astype(np.float32)
+    bias = p["attn"]["bias_table"][pair].transpose(2, 0, 1)  # (heads, P, P)
+    t = bias.astype(jnp.float32) + base
+    if cp > 1:
+        diag = np.kron(np.eye(cp, dtype=bool), np.ones((P, P), bool))
+        t = jnp.where(diag, jnp.tile(t, (1, cp, cp)), jnp.float32(-1e5))
+    return t
+
+
+def feasible_chain_group(x_shape, heads: int, window: int, mlp_ratio: int,
+                         cp: int, depth: int) -> int:
+    """Blocks per program for `fused_swin_stage_fixed` (≥1).
+
+    Each chained block keeps its own (heads, cp·P, cp·P) table AND
+    weight set VMEM-resident, so the group size is table+weight bound:
+    Swin-B stage 2 fits G=3 (3×(7.3+6.3) MB + activations)."""
+    import os
+
+    env = os.environ.get("MC3D_SWIN_GROUP", "")
+    if env.strip():
+        return max(1, min(int(env), depth))
+    B, H, W, C = x_shape
+    Hp = -(-H // window) * window
+    Wp = -(-W // window) * window
+    P = -(-(Hp * Wp) // 8) * 8
+    Pn = cp * P
+    per_block = (heads * Pn * _lanes(Pn) * 4
+                 + 2 * (C * 3 * C + C * C + 2 * mlp_ratio * C * C))
+    act = Pn * C * 28
+    score = 2 * Pn * _lanes(Pn) * 4
+    g = max(1, (_VMEM_BUDGET - act - score) // per_block)
+    return int(min(g, depth))
+
+
+def fused_swin_stage_fixed(x: jax.Array, plist: list, *, heads: int,
+                           window: int, shifts: list, mlp_ratio: int,
+                           geom: tuple[int, int, int], cp: int = 1,
+                           group: int | None = None,
+                           interpret: bool | None = None) -> jax.Array:
+    """A whole fixed-order stage: depth SwinBlocks in ceil(depth/G)
+    Pallas programs per crop pack.
+
+    Identical math to chaining `fused_swin_block_fixed` block by block,
+    but x round-trips HBM once per GROUP of G blocks instead of once
+    per block (and the per-program prologue amortizes G×).  ``plist`` is
+    the per-block flax param subtrees, ``shifts`` the per-block shift
+    (0 / win//2 alternation).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, W = geom
+    C = x.shape[-1]
+    win = window
+    depth = len(plist)
+    if len(shifts) != depth:
+        raise ValueError("shifts and plist must align")
+    geoms = {s: _fixed_geom(H, W, win, s) for s in set(shifts)}
+    P = next(iter(geoms.values()))[4]
+    if x.shape != (B * P, C):
+        raise ValueError(
+            f"fixed-order tokens must be {(B * P, C)}, got {x.shape}")
+    if B % cp:
+        raise ValueError(f"cp={cp} must divide B={B}")
+    Pn = cp * P
+    scale = float((C // heads) ** -0.5)
+    bf = x.dtype
+    if group is None:
+        group = feasible_chain_group((B, H, W, C), heads, win, mlp_ratio,
+                                     cp, depth)
+    # Validity is by ORIGINAL token position — shift-independent.
+    vpat = jnp.asarray(np.tile(geoms[shifts[0]][3], cp)[None, :, None])
+
+    def row_vec(a):
+        return a.astype(jnp.float32).reshape(1, -1)
+
+    w_bf = lambda a: a.astype(bf)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    for g0 in range(0, depth, group):
+        chunk = list(range(g0, min(g0 + group, depth)))
+        G = len(chunk)
+        ins, specs = [], []
+        for j in chunk:
+            ws, ks, reg, valid, _ = geoms[shifts[j]]
+            p = plist[j]
+            ins += [
+                _fixed_table(p, win, ws, ks, reg, cp),
+                row_vec(p["norm1"]["scale"]), row_vec(p["norm1"]["bias"]),
+                w_bf(p["attn"]["qkv"]["kernel"]),
+                row_vec(p["attn"]["qkv"]["bias"]),
+                w_bf(p["attn"]["proj"]["kernel"]),
+                row_vec(p["attn"]["proj"]["bias"]),
+                row_vec(p["norm2"]["scale"]), row_vec(p["norm2"]["bias"]),
+                w_bf(p["ffn_fc1"]["kernel"]), row_vec(p["ffn_fc1"]["bias"]),
+                w_bf(p["ffn_fc2"]["kernel"]), row_vec(p["ffn_fc2"]["bias"]),
+            ]
+            specs += [
+                const((heads, Pn, Pn)),
+                const((1, C)), const((1, C)),
+                const((C, 3 * C)), const((1, 3 * C)),
+                const((C, C)), const((1, C)),
+                const((1, C)), const((1, C)),
+                const((C, mlp_ratio * C)), const((1, mlp_ratio * C)),
+                const((mlp_ratio * C, C)), const((1, C)),
+            ]
+        kernel = partial(_chain_kernel, heads=heads, C=C, scale=scale,
+                         G=G, san=Pn)
+        x = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((B * P, C), bf),
+            grid=(B // cp,),
+            in_specs=[
+                pl.BlockSpec((Pn, C), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const((1, Pn, 1)),
+            ] + specs,
+            out_specs=pl.BlockSpec((Pn, C), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((Pn, C), bf)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(x, vpat, *ins)
+    return x
+
+
 def fused_swin_block_fixed(x: jax.Array, p: dict, *, heads: int,
                            window: int, shift: int, mlp_ratio: int,
                            geom: tuple[int, int, int], cp: int = 1,
@@ -360,17 +501,7 @@ def fused_swin_block_fixed(x: jax.Array, p: dict, *, heads: int,
     scale = float((C // heads) ** -0.5)
     bf = x.dtype
 
-    # Full additive table: bias + window-id mask + wrap-region mask.
-    pair = _rel_position_index(win)[ks[:, None], ks[None, :]]  # (P, P)
-    base = np.where(
-        ws[:, None] == ws[None, :],
-        np.where(reg[:, None] == reg[None, :], 0.0, -100.0),
-        -1e5).astype(np.float32)
-    bias = p["attn"]["bias_table"][pair].transpose(2, 0, 1)  # (heads, P, P)
-    t = bias.astype(jnp.float32) + base
-    if cp > 1:
-        diag = np.kron(np.eye(cp, dtype=bool), np.ones((P, P), bool))
-        t = jnp.where(diag, jnp.tile(t, (1, cp, cp)), jnp.float32(-1e5))
+    t = _fixed_table(p, win, ws, ks, reg, cp)
     vpat = jnp.asarray(np.tile(valid, cp)[None, :, None])
     # Dummy region tables (masking lives entirely in t → shifted=False).
     rrow = jnp.zeros((1, Pn, 1), jnp.float32)
@@ -437,18 +568,20 @@ def _erf(x: jax.Array) -> jax.Array:
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
-def _block_kernel(xw_ref, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
-                  t_ref, rrow_ref, rcol_ref, wproj_ref, bproj_ref,
-                  ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-                  out_ref, ctx_ref, *, heads: int, C: int, scale: float,
-                  shifted: bool, padded: bool, san: int,
-                  zero_pad_out: bool = False, eps: float = 1e-5):
-    f32 = jnp.float32
-    bf = xw_ref.dtype
-    d = C // heads
-    WBn = xw_ref.shape[0]
+def _block_body(x, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                t_ref, rrow_ref, rcol_ref, wproj_ref, bproj_ref,
+                ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+                ctx_ref, *, heads: int, C: int, scale: float,
+                shifted: bool, padded: bool, san: int, eps: float = 1e-5):
+    """One SwinBlock on an in-VMEM (WBn, C) token value ``x`` → new value.
 
-    x = xw_ref[:]  # (WBn, C) bf16 — residual base rides in registers/VMEM
+    Shared by the single-block kernels (`_block_kernel`) and the
+    fixed-order multi-block chain kernel (`_chain_kernel`)."""
+    f32 = jnp.float32
+    bf = x.dtype
+    d = C // heads
+    WBn = x.shape[0]
+
     xf = x.astype(f32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
@@ -499,13 +632,47 @@ def _block_kernel(xw_ref, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
     h1 = jnp.dot(y2, wfc1_ref[:], preferred_element_type=f32) + bfc1_ref[0]
     g = (0.5 * h1 * (1.0 + _erf(h1 * (2.0 ** -0.5)))).astype(bf)
     o2 = jnp.dot(g, wfc2_ref[:], preferred_element_type=f32)
-    res = x2 + (o2.astype(bf) + bfc2_ref[0].astype(bf))
+    return x2 + (o2.astype(bf) + bfc2_ref[0].astype(bf))
+
+
+def _block_kernel(xw_ref, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+                  t_ref, rrow_ref, rcol_ref, wproj_ref, bproj_ref,
+                  ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+                  out_ref, ctx_ref, *, heads: int, C: int, scale: float,
+                  shifted: bool, padded: bool, san: int,
+                  zero_pad_out: bool = False, eps: float = 1e-5):
+    res = _block_body(
+        xw_ref[:], vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
+        t_ref, rrow_ref, rcol_ref, wproj_ref, bproj_ref,
+        ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+        ctx_ref, heads=heads, C=C, scale=scale, shifted=shifted,
+        padded=padded, san=san, eps=eps)
     if zero_pad_out and padded:
         # Chained layout mode: pad tokens leave as EXACT zeros, so the
         # next block's window permutation sees the same re-padded-with-
         # zeros input mmcv produces by crop + fresh pad.
-        res = res * vpat_ref[0].astype(bf)
+        res = res * vpat_ref[0].astype(res.dtype)
     out_ref[:] = res
+
+
+def _chain_kernel(xw_ref, vpat_ref, *wrefs, heads: int, C: int,
+                  scale: float, G: int, san: int, eps: float = 1e-5):
+    """G fixed-order SwinBlocks in ONE program: x stays VMEM-resident
+    across the whole group (one HBM read + one write per G blocks).
+    ``wrefs`` is 13 refs per block (the block's full additive table —
+    per-block, it embeds the block's OWN rel-pos bias — then the 12
+    weight tensors), then out_ref, then the ctx scratch."""
+    out_ref, ctx_ref = wrefs[13 * G], wrefs[13 * G + 1]
+    x = xw_ref[:]
+    for j in range(G):
+        w = wrefs[13 * j:13 * (j + 1)]
+        x = _block_body(
+            x, vpat_ref, w[1], w[2], w[3], w[4],
+            w[0], None, None, w[5], w[6],
+            w[7], w[8], w[9], w[10], w[11], w[12],
+            ctx_ref, heads=heads, C=C, scale=scale, shifted=False,
+            padded=True, san=san, eps=eps)
+    out_ref[:] = x
 
 
 def fused_swin_block(x: jax.Array, p: dict, *, heads: int, window: int,

@@ -316,10 +316,11 @@ def test_fixed_stage_matches_einsum_with_padding(monkeypatch):
     import multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block as sb
 
     fixed_calls, chained_calls = [], []
-    orig_f = sb.fused_swin_block_fixed
+    orig_f = sb.fused_swin_stage_fixed
     monkeypatch.setattr(
-        sb, "fused_swin_block_fixed",
-        lambda *a, **k: (fixed_calls.append(k.get("shift")), orig_f(*a, **k))[1])
+        sb, "fused_swin_stage_fixed",
+        lambda *a, **k: (fixed_calls.append(tuple(k.get("shifts"))),
+                         orig_f(*a, **k))[1])
     orig_c = sb.fused_swin_block
     monkeypatch.setattr(
         sb, "fused_swin_block",
@@ -335,7 +336,7 @@ def test_fixed_stage_matches_einsum_with_padding(monkeypatch):
     got = np.asarray(
         SwinPose(num_joints=17, cfg=cfg, use_pallas_attention="block")
         .apply(v, x))
-    assert fixed_calls == [0, 2, 0, 2], fixed_calls
+    assert fixed_calls == [(0, 2), (0, 2)], fixed_calls
     assert not chained_calls, "chained path ran despite fixed being feasible"
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
 
@@ -345,9 +346,9 @@ def test_fixed_env_gate_per_stage(monkeypatch):
     import multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block as sb
 
     fixed_geoms = []
-    orig_f = sb.fused_swin_block_fixed
+    orig_f = sb.fused_swin_stage_fixed
     monkeypatch.setattr(
-        sb, "fused_swin_block_fixed",
+        sb, "fused_swin_stage_fixed",
         lambda *a, **k: (fixed_geoms.append(a[0].shape[-1]), orig_f(*a, **k))[1])
     monkeypatch.setenv("MC3D_SWIN_FIXED", "32")
     cfg = {"embed": 16, "depths": (2, 2), "heads": (2, 4), "window": 5,
@@ -359,3 +360,39 @@ def test_fixed_env_gate_per_stage(monkeypatch):
     m.apply(v, x)
     # Only the C=32 (second) stage may use the fixed kernel.
     assert fixed_geoms and set(fixed_geoms) == {32}, fixed_geoms
+
+
+def test_fixed_stage_chain_groups_match_per_block():
+    """`fused_swin_stage_fixed` with G=2 programs must equal per-block
+    fixed kernels (odd depth → a trailing G=1 group), and the automatic
+    group sizing must be ≥1."""
+    from multi_camera_3d_pose_estimation_tpu.ops.pallas.swin_block import (
+        feasible_chain_group,
+        fixed_partition,
+        fused_swin_block_fixed,
+        fused_swin_stage_fixed,
+    )
+
+    rng = np.random.default_rng(21)
+    B, H, W, C, win, heads = 2, 16, 18, 32, 5, 2
+    shifts = [0, 2, 0]
+    plist = []
+    for j in range(3):
+        m = SwinBlock(heads=heads, window=win, shift=shifts[j], mlp_ratio=2,
+                      dtype=jnp.float32)
+        v = m.init(jax.random.PRNGKey(j),
+                   jnp.zeros((1, H, W, C), jnp.float32))
+        plist.append(v["params"])
+    x0 = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+    xw = fixed_partition(x0, win)
+    ref = xw
+    for j in range(3):
+        ref = fused_swin_block_fixed(
+            ref, plist[j], heads=heads, window=win, shift=shifts[j],
+            mlp_ratio=2, geom=(B, H, W), cp=1, interpret=True)
+    got = fused_swin_stage_fixed(
+        xw, plist, heads=heads, window=win, shifts=shifts, mlp_ratio=2,
+        geom=(B, H, W), cp=1, group=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-5)
+    assert feasible_chain_group((256, 16, 12, 512), 16, 7, 4, 1, 18) >= 1
