@@ -93,10 +93,12 @@ class RefineConfig:
     # ``auto_gate``: per overlapping window, compare the INITIAL
     # trajectory's reprojection residual to the 2D noise floor the
     # Gaussians themselves claim (median squared Mahalanobis radius vs
-    # ``gate_threshold``); a window already below the floor gets zero
-    # LIKELIHOOD weight (priors stay active) — the 2D pull can only add
-    # variance there (measured: easy-domain 9.8 → 45 mm regression,
-    # PARITY.md).
+    # ``gate_threshold``); a window already below the floor is FULLY
+    # skipped — zero objective, so it keeps its initial trajectory —
+    # because the 2D pull can only add variance there (measured:
+    # easy-domain 9.8 → 45 mm regression, PARITY.md) and a priors-only
+    # pull measured worse than no-op too (round 4, optimizer.py gate
+    # comment).
     huber_delta: float | None = None
     likelihood_temperature: float = 1.0
     auto_gate: bool = True
@@ -113,7 +115,8 @@ class RefineResult:
     n_iter: int
     best_total_cost: float
     # Per-window auto-gate weights (1 = refined, 0 = below the 2D noise
-    # floor and skipped); None when the gate didn't apply (RefineConfig).
+    # floor → fully skipped, keeps its initial trajectory); None when
+    # the gate didn't apply (RefineConfig).
     gate_weights: np.ndarray | None = None
 
 
@@ -622,13 +625,15 @@ def _run_refinement(
                 s_w, means_w, ci_w, Ks, p["rvecs"], p["tvecs"], dists,
                 learn_mask, cfg.ignore_distortions,
             )
-        # Auto-gate: a below-noise-floor window contributes zero
-        # LIKELIHOOD cost/gradient (the 2D pull that only adds variance
-        # there); priors stay active — body lengths and smoothness are
-        # user constraints, not data terms.  gate is 1.0 elsewhere, an
-        # exact no-op.
-        if "likelihood_cost" in costs:
-            costs["likelihood_cost"] = gate * costs["likelihood_cost"]
+        # Auto-gate: a below-noise-floor window contributes ZERO
+        # objective — likelihood AND priors.  Gating only the likelihood
+        # was measured WORSE (round 4, hard domain: 36.4 vs 31.8 mm
+        # no-gate): with the data term off, the priors-only pull drifts a
+        # window that was already at its optimum.  Zero total ⇒ zero
+        # gradient ⇒ the window keeps its INITIAL trajectory exactly
+        # (points shared with an ungated overlapping window still
+        # update from that window).  gate is 1.0 elsewhere, a no-op.
+        costs = {k: gate * v for k, v in costs.items()}
         total = sum(costs.values())
         costs["total_cost"] = total
         return total, (costs, traj_w)
