@@ -425,14 +425,16 @@ class SwinTransformer(nn.Module):
                 Bc, Hc, Wc, Cc = x.shape
                 chain = feasible_wb(x.shape, heads[i], win,
                                     mlp_ratio) is not None
-                # Fixed-order layout beats the chained gathers whenever
-                # its full (heads, cp·P, cp·P) table fits VMEM (all but
-                # Swin-B/L stage 0); MC3D_SWIN_FIXED=0 keeps the chained
-                # path for A/B, and a comma list of channel widths
-                # ("512,1024") enables it per stage.
+                # Fixed-order layout (zero inter-block layout ops) is a
+                # measured NEGATIVE on the Swin-B pipeline (round 4:
+                # 663.1 chained vs 615.2 all-fixed vs 641.0 stages-2/3
+                # only — PROFILE.md round-4 appendix), so the chained
+                # gathers stay the default; MC3D_SWIN_FIXED=1 (all
+                # feasible stages) or a comma list of channel widths
+                # ("512,1024") opts in per stage for A/B.
                 import os
 
-                env = os.environ.get("MC3D_SWIN_FIXED", "1")
+                env = os.environ.get("MC3D_SWIN_FIXED", "0")
                 on = (env != "0" if env in ("0", "1")
                       else str(Cc) in env.split(","))
                 if chain and on:
