@@ -86,9 +86,12 @@ def test_body_length_cost_drives_proportions(rng):
     body = {"left_shoulder_left_elbow": 30.0, "right_shoulder_right_elbow": 30.0}
     noisy = traj + rng.normal(0, 2.0, traj.shape)
     ref = PoseRefiner(gauss, noisy, cams, body_lengths=body)
+    # sigma=50 Gaussians put the ±2.0 init inside the 2D noise floor,
+    # where the full-freeze auto-gate would (correctly) skip the window;
+    # this test isolates the body-length term, so gate off.
     res = ref.sgd_optimize(
         lr=0.05, max_iter=150, patience=150, lambda_smooth=0.0,
-        lambda_body_length=5.0,
+        lambda_body_length=5.0, auto_gate=False,
     )
     assert "body_length_cost" in res.cost_history
     hist = res.cost_history["body_length_cost"]
