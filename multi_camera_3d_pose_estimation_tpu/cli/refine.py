@@ -57,6 +57,35 @@ def _report_body_lengths(label: str, trajectory: np.ndarray) -> None:
         print("; ".join([name, str(np.nanmean(v)), str(np.nanstd(v))]))
 
 
+def _report_gate(gate_weights) -> None:
+    """Per-window auto-gate report (VERDICT r4 #6).
+
+    The noise-floor auto-gate (`RefineConfig.auto_gate`, default on) is a
+    deliberate deviation from the reference objective
+    (pose_refinement.py:579-1097 always applies the 2D pull): windows whose
+    initial trajectory already sits below the 2D noise floor the decode
+    Gaussians claim are frozen entirely and keep their initial trajectory.
+    A reference-compat run must be able to see when that fired, so the CLI
+    always prints the per-window tally and how to disable it.
+    """
+    if gate_weights is None:
+        return
+    gw = np.asarray(gate_weights)
+    n_frozen = int((gw == 0).sum())
+    print(
+        f"auto-gate report: {n_frozen}/{gw.size} windows frozen at the 2D "
+        f"noise floor (frozen windows keep their initial trajectory)"
+    )
+    if n_frozen:
+        frozen_idx = np.flatnonzero(gw == 0)
+        print(f"auto-gate frozen window indices: {frozen_idx.tolist()}")
+        print(
+            "NOTE: the noise-floor auto-gate deviates from the reference "
+            "SGD objective; set `auto_gate: false` under `SGD:` in "
+            "--refinement_params_yaml for exact reference behavior."
+        )
+
+
 def run_refinement(args) -> dict:
     run_path = args.run_path or "."
     save_path = args.save_path or run_path
@@ -123,6 +152,7 @@ def run_refinement(args) -> dict:
 
         _report_body_lengths("initial trajectory's", init)
         _report_body_lengths("estimated trajectory's", res.trajectory)
+        _report_gate(res.gate_weights)
 
         out = os.path.join(save_path, "kpts_3d_SGD.npy")
         print(f"saving SGD refinement at {out} ({res.n_iter} epochs, "

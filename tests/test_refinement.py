@@ -223,6 +223,79 @@ def test_verbose_progress_prints(rng, capsys):
     assert "Iteration" in out and "total_cost" in out
 
 
+def test_cli_gate_report_prints(tmp_path, rng, capsys):
+    """VERDICT r4 #6: the refine CLI must surface the auto-gate tally and a
+    reference-compat notice whenever the gate froze windows."""
+    import os
+
+    import yaml
+    from multi_camera_3d_pose_estimation_tpu.cli.refine import (
+        build_parser,
+        run_refinement,
+    )
+    from multi_camera_3d_pose_estimation_tpu.io import (
+        save_camera_intrinsics,
+        save_extrinsic_calibration_parameters,
+        save_camera_names,
+    )
+
+    # Initial trajectory exactly at the truth + observations scattered by
+    # the claimed sigma -> every window sits below the noise floor and the
+    # gate freezes them all (same construction as the gate unit test).
+    traj, cams, gauss = make_scene(rng, T=12, J=4, sigma=4.0)
+    noisy = gauss.copy()
+    noisy[..., :2] += rng.normal(0, 4.0, noisy[..., :2].shape)
+    names = {0: "left", 1: "right"}
+    for c, name in names.items():
+        K, R, Tv, dist = cams[c]
+        save_camera_intrinsics(K, np.zeros((1, 5)), name, root_path=str(tmp_path))
+        save_extrinsic_calibration_parameters(
+            R, Tv.reshape(3, 1), name, root_dir=str(tmp_path)
+        )
+    save_camera_names(names, "left", str(tmp_path))
+    np.save(tmp_path / "kpts_3d.npy", traj)
+    np.save(tmp_path / "heatmaps_2d.npy", noisy)
+    params_yaml = tmp_path / "refinement_params.yaml"
+    params_yaml.write_text(yaml.safe_dump({
+        "SGD": {"lr": 0.05, "max_iter": 20, "patience": 20,
+                "lambda_smooth": 0.0, "lambda_body_length": 0.0},
+    }))
+
+    args = build_parser().parse_args([
+        "--run_path", str(tmp_path),
+        "--refinement_types", "SGD",
+        "--kpts_3d", str(tmp_path / "kpts_3d.npy"),
+        "--heatmaps_2d", str(tmp_path / "heatmaps_2d.npy"),
+        "--refinement_params_yaml", str(params_yaml),
+        "--extrinsic_params_dir",
+        os.path.join(str(tmp_path), "extrinsic_camera_parameters"),
+        "--intrinsic_params_dir",
+        os.path.join(str(tmp_path), "intrinsic_camera_parameters"),
+        "--ignore_body_lengths",
+    ])
+    results = run_refinement(args)
+    out = capsys.readouterr().out
+    import re
+
+    m = re.search(r"auto-gate report: (\d+)/(\d+) windows frozen", out)
+    assert m, out
+    assert int(m.group(1)) == int(m.group(2)) > 0, out  # all below the floor
+    assert "deviates from the reference" in out
+    assert "auto_gate: false" in out
+    # Frozen windows keep the initial trajectory (float32 round-trip only).
+    np.testing.assert_allclose(results["SGD"], traj, atol=1e-3)
+
+    # Reference-compat run: auto_gate off -> no gate report at all.
+    params_yaml.write_text(yaml.safe_dump({
+        "SGD": {"lr": 0.05, "max_iter": 20, "patience": 20,
+                "lambda_smooth": 0.0, "lambda_body_length": 0.0,
+                "auto_gate": False},
+    }))
+    run_refinement(args)
+    out = capsys.readouterr().out
+    assert "auto-gate report" not in out
+
+
 def test_body_length_cost_gradient_finite_on_coincident_joints():
     """sqrt'(0) is NaN: coincident joints (degenerate init) must not poison
     the gradient."""
