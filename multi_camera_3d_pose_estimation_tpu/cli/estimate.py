@@ -103,6 +103,32 @@ def run_pipeline_on_videos(
     )
 
 
+def _load_camera_param_lists(
+    camera_names, intrinsic_params_dir, extrinsic_params_dir, project_dir
+):
+    """Ordered [K, R, T, dist] per camera from the on-disk .dat/.pkl params
+    (reference pose_estimation.py:265-281)."""
+    if camera_names is None:
+        cameras, _origin = load_camera_names(extrinsic_params_dir)
+        camera_names = [cameras[k] for k in sorted(cameras)]
+    cam_lists = []
+    for name in camera_names:
+        _P, plist = get_params_from_name(
+            name,
+            intrinsic_params_dir=intrinsic_params_dir,
+            extrinsic_params_dir=extrinsic_params_dir,
+        )
+        K, R, T, dist = plist
+        if K is None:
+            raise FileNotFoundError(
+                f"missing intrinsics for camera '{name}' under {project_dir}"
+            )
+        if R is None:
+            R, T = np.eye(3), np.zeros(3)  # origin camera convention
+        cam_lists.append([K, R, T, dist])
+    return cam_lists
+
+
 def estimate_pose_from_video(
     recording_paths,
     project_dir: str = "",
@@ -146,12 +172,6 @@ def estimate_pose_from_video(
     k2_path = os.path.join(save_dir, "kpts_2d.npy")
     hm_path = os.path.join(save_dir, "heatmaps_2d.npy")
     k3_path = os.path.join(save_dir, "kpts_3d.npy")
-    if not overwrite and os.path.exists(k2_path) and os.path.exists(hm_path):
-        kpts_2d = np.load(k2_path)
-        heatmaps = np.load(hm_path)
-        kpts_3d = np.load(k3_path) if os.path.exists(k3_path) else None
-        if kpts_3d is not None:
-            return kpts_2d, heatmaps, kpts_3d
 
     intrinsic_params_dir = intrinsic_params_dir or os.path.join(
         project_dir, "intrinsic_camera_parameters"
@@ -159,25 +179,28 @@ def estimate_pose_from_video(
     extrinsic_params_dir = extrinsic_params_dir or os.path.join(
         project_dir, "extrinsic_camera_parameters"
     )
-    if camera_names is None:
-        cameras, _origin = load_camera_names(extrinsic_params_dir)
-        camera_names = [cameras[k] for k in sorted(cameras)]
 
-    cam_lists = []
-    for name in camera_names:
-        _P, plist = get_params_from_name(
-            name,
-            intrinsic_params_dir=intrinsic_params_dir,
-            extrinsic_params_dir=extrinsic_params_dir,
+    if not overwrite and os.path.exists(k2_path) and os.path.exists(hm_path):
+        kpts_2d = np.load(k2_path)
+        heatmaps = np.load(hm_path)
+        if os.path.exists(k3_path):
+            return kpts_2d, heatmaps, np.load(k3_path)
+        # Reference reuse path (pose_estimation.py:286-325): keep the
+        # cached 2D keypoints, recompute 3D by triangulation only — no
+        # model build, no video decode.
+        from ..ops import get_pose_3d
+
+        cam_lists = _load_camera_param_lists(
+            camera_names, intrinsic_params_dir, extrinsic_params_dir,
+            project_dir,
         )
-        K, R, T, dist = plist
-        if K is None:
-            raise FileNotFoundError(
-                f"missing intrinsics for camera '{name}' under {project_dir}"
-            )
-        if R is None:
-            R, T = np.eye(3), np.zeros(3)  # origin camera convention
-        cam_lists.append([K, R, T, dist])
+        kpts_3d = np.asarray(get_pose_3d(kpts_2d, dict(enumerate(cam_lists))))
+        np.save(k3_path, kpts_3d)
+        return kpts_2d, heatmaps, kpts_3d
+
+    cam_lists = _load_camera_param_lists(
+        camera_names, intrinsic_params_dir, extrinsic_params_dir, project_dir
+    )
     cam_stack = stack_camera_params(cam_lists)
 
     estimator = build_estimator(
