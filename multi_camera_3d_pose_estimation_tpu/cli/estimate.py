@@ -150,6 +150,7 @@ def estimate_pose_from_video(
     extrinsic_params_dir: str | None = None,
     live_preview_dir: str | None = None,
     live_preview_show: bool = False,
+    triangulation: str = "top2",
 ):
     """Full 2D+3D estimation over synchronized recordings.
 
@@ -164,6 +165,11 @@ def estimate_pose_from_video(
       VMEM-resident stage-1 chain kernel for the hrnet heatmap family
       (+4% measured on TPU v5e, `ops/pallas/bottleneck.py`; leave off
       when running off-TPU — interpret mode is slow).
+
+    - ``triangulation``: "top2" (reference parity,
+      pose_estimation.py:35-41) or "nview" (robust confidence-weighted
+      all-view DLT with residual rejection, `ops.triangulate_nview` —
+      beyond-reference; needs >=3 cameras to differ from top2).
 
     Returns ``(kpts_2d, heatmaps_2d, kpts_3d)`` and writes the npy
     artifacts into ``save_dir`` (default: alongside the recordings).
@@ -194,7 +200,8 @@ def estimate_pose_from_video(
             camera_names, intrinsic_params_dir, extrinsic_params_dir,
             project_dir,
         )
-        kpts_3d = np.asarray(get_pose_3d(kpts_2d, dict(enumerate(cam_lists))))
+        kpts_3d = np.asarray(get_pose_3d(kpts_2d, dict(enumerate(cam_lists)),
+                                         method=triangulation))
         np.save(k3_path, kpts_3d)
         return kpts_2d, heatmaps, kpts_3d
 
@@ -215,7 +222,7 @@ def estimate_pose_from_video(
     )
     pipeline = ShardedPosePipeline(
         estimator, cam_stack, mesh=mesh, conf_threshold=conf_threshold,
-        detector=detector,
+        detector=detector, triangulation=triangulation,
     )
     on_block = None
     if live_preview_dir or live_preview_show:

@@ -41,6 +41,7 @@ def record_and_estimate_pose(
     conf_threshold: float = 0.3,
     decode_mode: str = "default",
     flip_test: bool = False,
+    triangulation: str = "top2",
     wait_for_user=None,
     **configure_kwargs,
 ):
@@ -94,6 +95,7 @@ def record_and_estimate_pose(
         detector_checkpoint=detector_checkpoint,
         save_dir=recordings_folder,
         conf_threshold=conf_threshold,
+        triangulation=triangulation,
         estimator_kwargs={"decode_mode": decode_mode, "flip_test": flip_test},
         # The reference's layout: per-configuration extrinsics
         # (record_and_estimate_pose.py:38 passes the configuration dir).
@@ -127,6 +129,9 @@ def main(argv=None):
     p.add_argument("--checkpoint")
     p.add_argument("--detector_checkpoint")
     p.add_argument("--decode_mode", choices=["default", "dark"])
+    p.add_argument("--triangulation", choices=["top2", "nview"],
+                   help="3D lift: reference top-2-view parity (default) or "
+                        "robust confidence-weighted all-view DLT")
     p.add_argument("--flip_test", action="store_true", default=None)
     args = p.parse_args(argv)
     # Drop Nones so the function defaults win (reference :81-84).

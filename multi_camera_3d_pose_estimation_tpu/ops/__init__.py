@@ -13,6 +13,7 @@ from .undistort import undistort_points
 from .triangulation import (
     triangulate_dlt,
     triangulate_points,
+    triangulate_nview,
     triangulate_top2,
     get_pose_3d,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "undistort_points",
     "triangulate_dlt",
     "triangulate_points",
+    "triangulate_nview",
     "triangulate_top2",
     "get_pose_3d",
     "heatmap_moments",

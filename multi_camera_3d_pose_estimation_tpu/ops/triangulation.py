@@ -20,7 +20,13 @@ import jax.numpy as jnp
 from .geometry import projection_matrix
 from .undistort import undistort_points
 
-__all__ = ["triangulate_dlt", "triangulate_points", "triangulate_top2", "get_pose_3d"]
+__all__ = [
+    "triangulate_dlt",
+    "triangulate_points",
+    "triangulate_top2",
+    "triangulate_nview",
+    "get_pose_3d",
+]
 
 
 def _dlt_system(pts_a, pts_b, P_a, P_b):
@@ -194,13 +200,7 @@ def triangulate_top2(
 
     # Undistort every view with its own intrinsics (vmap over cameras on the
     # second-to-last axis), re-projected into pixel units with P=K.
-    def undo(cam_idx_pts, K, d):
-        return undistort_points(cam_idx_pts, K, d, P=K, n_iter=n_undistort_iter)
-
-    # Move camera axis to the front for vmap, then back.
-    kpts_cf = jnp.moveaxis(kpts, -2, 0)  # (n_cams, ..., 2)
-    und_cf = jax.vmap(undo, in_axes=(0, 0, 0))(kpts_cf, jnp.asarray(Ks), jnp.asarray(dists))
-    und = jnp.moveaxis(und_cf, 0, -2)  # (..., n_cams, 2)
+    und = _undistort_all_views(kpts, Ks, dists, n_undistort_iter)
 
     Ps = projection_matrix(jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(Ts))  # (n_cams,3,4)
 
@@ -216,12 +216,177 @@ def triangulate_top2(
     return triangulate_dlt(pts_a, pts_b, P_a, P_b)
 
 
+def _undistort_all_views(kpts, Ks, dists, n_undistort_iter):
+    """Per-view iterative undistortion, vmapped over the camera axis.
+
+    ``kpts``: (..., n_cams, 2) → undistorted pixel coords (re-projected
+    with each view's own K, the reference's `cv.undistortPoints(..., P=K)`
+    convention, utils.py:1314-1315).
+    """
+    def undo(cam_idx_pts, K, d):
+        return undistort_points(cam_idx_pts, K, d, P=K, n_iter=n_undistort_iter)
+
+    kpts_cf = jnp.moveaxis(kpts, -2, 0)  # (n_cams, ..., 2)
+    und_cf = jax.vmap(undo, in_axes=(0, 0, 0))(
+        kpts_cf, jnp.asarray(Ks), jnp.asarray(dists)
+    )
+    return jnp.moveaxis(und_cf, 0, -2)  # (..., n_cams, 2)
+
+
+def _weighted_dlt(und, Ps, w, bad):
+    """Weighted n-view DLT solve: min Σ_c w_c ||A_c h||², ||h||=1.
+
+    - ``und``: (..., C, 2) undistorted pixel points (finite — sanitize first)
+    - ``Ps``: (C, 3, 4) projection matrices
+    - ``w``: (..., C) non-negative per-view weights (0 drops the view)
+    - ``bad``: (...) mask of unsolvable points (→ NaN output)
+
+    Same smallest-eigenvector engine and Hartley-style column
+    equilibration as `triangulate_dlt`, just with 2C stacked rows — the
+    normal matrix stays 4×4 regardless of the view count, so the batched
+    solver's cost is independent of C.
+    """
+    x = und[..., 0:1]
+    y = und[..., 1:2]
+    r0 = y * Ps[..., 2, :] - Ps[..., 1, :]  # (..., C, 4)
+    r1 = Ps[..., 0, :] - x * Ps[..., 2, :]
+    A = jnp.stack([r0, r1], axis=-2)  # (..., C, 2, 4)
+    A = A * jnp.sqrt(w)[..., None, None]
+    A = A.reshape(A.shape[:-3] + (2 * A.shape[-3], 4))  # (..., 2C, 4)
+
+    colnorm = jnp.linalg.norm(A, axis=-2, keepdims=True)  # (..., 1, 4)
+    colnorm = jnp.where(colnorm > 0, colnorm, jnp.ones_like(colnorm))
+    A = A / colnorm
+    B = jnp.einsum("...ki,...kj->...ij", A, A,
+                   precision=jax.lax.Precision.HIGHEST)
+    eye = jnp.eye(4, dtype=B.dtype)
+    B = jnp.where(bad[..., None, None], eye, B)
+    h = _smallest_eigvec_4x4(B)
+    h = h / colnorm[..., 0, :]
+    wh = h[..., 3]
+    wh = jnp.where(jnp.abs(wh) < 1e-12, jnp.where(wh < 0, -1e-12, 1e-12), wh)
+    xyz = h[..., :3] / wh[..., None]
+    return jnp.where(bad[..., None], jnp.full_like(xyz, jnp.nan), xyz)
+
+
+def triangulate_nview(
+    kpts: jax.Array,
+    conf: jax.Array,
+    Ks: jax.Array,
+    dists: jax.Array,
+    Rs: jax.Array,
+    Ts: jax.Array,
+    n_undistort_iter: int = 10,
+    conf_weighted: bool = True,
+    reject_sigma: float = 2.5,
+    sigma_floor_px: float = 1.0,
+    min_views: int = 2,
+) -> jax.Array:
+    """Robust confidence-weighted DLT over ALL finite views (opt-in).
+
+    Beyond-reference accuracy lever (VERDICT r4 #3): the reference — and
+    our parity-default `triangulate_top2` — triangulates from only the two
+    most-confident views (pose_estimation.py:35-41), so a single occluded/
+    corrupted view inside the top-2 has no third-view recourse.  Here every
+    finite view contributes DLT rows weighted by its confidence, made
+    robust by exhaustive leave-one-out consensus:
+
+    1. C+1 hypotheses, each a weighted DLT solve: all views, plus each
+       single view excluded.  (A plain all-view LS pass is NOT a usable
+       robust init: a high-confidence 60 px outlier drags the fit far
+       enough that every view's residual looks equally bad — measured on
+       the corrupted-view fixture.  Excluding the outlier is the only
+       hypothesis with a small consensus residual.)
+    2. Score each hypothesis by the MEDIAN squared reprojection residual
+       of its included views (undistorted pixel space); pick the best.
+    3. Reject views whose residual against the best hypothesis exceeds
+       ``reject_sigma``·max(median residual, ``sigma_floor_px``) — unless
+       fewer than ``min_views`` would survive, in which case all valid
+       views are kept.
+    4. Final confidence-weighted DLT over the surviving views.
+
+    All hypotheses solve as one batched 4×4 eigenproblem (the normal
+    matrix is 4×4 regardless of view count), so the cost is C+2 batched
+    solves total — static shapes, no data-dependent control flow.
+
+    Same argument/return contract as `triangulate_top2`; NaN where fewer
+    than two finite views.
+    """
+    kpts = jnp.asarray(kpts)
+    conf = jnp.asarray(conf)
+    n_cams = kpts.shape[-2]
+    if n_cams < 2:
+        raise ValueError(f"triangulation needs >= 2 camera views, got {n_cams}")
+
+    und = _undistort_all_views(kpts, Ks, dists, n_undistort_iter)
+    Ps = projection_matrix(jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(Ts))
+
+    finite = jnp.all(jnp.isfinite(und), axis=-1) & jnp.isfinite(conf)
+    und_safe = jnp.where(finite[..., None], jnp.nan_to_num(und), 0.0)
+    n_valid = jnp.sum(finite, axis=-1)
+    bad = n_valid < 2
+
+    if conf_weighted:
+        # Valid views never get a hard zero from conf==0: a tiny floor
+        # keeps them in the system (they are still out-voted by any
+        # confident view) and keeps the normal matrix well-posed.
+        w0 = jnp.where(finite, jnp.maximum(jnp.clip(conf, 0.0), 1e-3), 0.0)
+    else:
+        w0 = finite.astype(und.dtype)
+
+    def _residuals2(X, target):
+        """Squared reprojection residual per view; X (..., 3) vs
+        ``target`` (..., C, 2) -> (..., C)."""
+        Xh = jnp.concatenate(
+            [jnp.nan_to_num(X), jnp.ones(X.shape[:-1] + (1,), X.dtype)],
+            axis=-1)
+        proj = jnp.einsum("cij,...j->...ci", Ps, Xh)  # (..., C, 3)
+        z = proj[..., 2:3]
+        z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        uv = proj[..., :2] / z
+        return jnp.sum((uv - target) ** 2, axis=-1)
+
+    def _masked_median(r2, mask):
+        """Lower median of r2 over mask=True entries (inf-padded sort)."""
+        r2s = jnp.sort(jnp.where(mask, r2, jnp.inf), axis=-1)
+        n = jnp.sum(mask, axis=-1)
+        k = jnp.maximum(n - 1, 0) // 2
+        med = jnp.take_along_axis(r2s, k[..., None], axis=-1)[..., 0]
+        return jnp.where(jnp.isfinite(med), med, jnp.inf)
+
+    # Hypotheses: all-in + each view left out once -> (..., C+1, C) weights.
+    eye = jnp.eye(n_cams, dtype=w0.dtype)
+    w_hyp = jnp.concatenate(
+        [w0[..., None, :], w0[..., None, :] * (1.0 - eye)], axis=-2)
+    inc = (w_hyp > 0)
+    hyp_ok = jnp.sum(inc, axis=-1) >= 2
+    X_hyp = _weighted_dlt(und_safe[..., None, :, :], Ps, w_hyp, ~hyp_ok)
+    r2_hyp = _residuals2(X_hyp, und_safe[..., None, :, :])  # (...,C+1,C)
+    score = _masked_median(r2_hyp, inc & finite[..., None, :])
+    score = jnp.where(hyp_ok, score, jnp.inf)
+    best = jnp.argmin(score, axis=-1)  # ties -> all-in (index 0) wins
+    X_best = jnp.take_along_axis(
+        X_hyp, best[..., None, None], axis=-2)[..., 0, :]
+
+    # Rejection pass against the best consensus point.
+    r2 = _residuals2(X_best, und_safe)
+    med_r2 = _masked_median(r2, finite)
+    med_r2 = jnp.where(jnp.isfinite(med_r2), med_r2, 0.0)
+    thresh = (reject_sigma ** 2) * jnp.maximum(med_r2, sigma_floor_px ** 2)
+    keep = finite & (r2 <= thresh[..., None])
+    enough = jnp.sum(keep, axis=-1) >= min_views
+    w1 = jnp.where(enough[..., None], w0 * keep, w0)
+
+    return _weighted_dlt(und_safe, Ps, w1, bad)
+
+
 def get_pose_3d(
     kpts_2d,
     camera_params: dict,
     camera_indices=None,
     world_trans_rot=None,
     ignore_nonlinear_distortions: bool = False,
+    method: str = "top2",
 ):
     """Lift cached 2D keypoints to 3D — reference `get_pose_3D` entry
     (pose_estimation.py:11-65), fully batched (BASELINE config 1: 2-cam
@@ -239,6 +404,10 @@ def get_pose_3d(
     vmapped gather + batched DLT.  (The reference then indexes its camera
     dict with subset positions — a bug when IDs aren't 0..C-1; here the
     selected subset's own parameters are used.)
+
+    ``method``: "top2" (reference-parity default, pose_estimation.py:35-41)
+    or "nview" (robust confidence-weighted all-view DLT with one
+    residual-rejection pass — `triangulate_nview`, beyond-reference).
     Returns (T, K, 3) float with NaN where fewer than two finite views.
     """
     import numpy as np
@@ -267,7 +436,10 @@ def get_pose_3d(
         if sub.shape[2] > 2
         else jnp.ones(xy.shape[:-1], xy.dtype)
     )
-    p3ds = triangulate_top2(
+    tri = {"top2": triangulate_top2, "nview": triangulate_nview}
+    if method not in tri:
+        raise ValueError(f"unknown triangulation method '{method}'")
+    p3ds = tri[method](
         xy,
         conf,
         jnp.asarray(np.stack(Ks)),

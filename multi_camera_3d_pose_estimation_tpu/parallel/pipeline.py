@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.topdown import _predict
-from ..ops.triangulation import triangulate_top2
+from ..ops.triangulation import triangulate_nview, triangulate_top2
 from ..refine.costs import likelihood_cost, nan_mean
 from .mesh import data_sharding, replicated
 
@@ -50,10 +50,18 @@ class ShardedPosePipeline:
     """
 
     def __init__(self, estimator, cam_stack, mesh=None, conf_threshold: float = 0.3,
-                 detector=None, donate_frames: bool = False):
+                 detector=None, donate_frames: bool = False,
+                 triangulation: str = "top2"):
         self.estimator = estimator
         self.mesh = mesh
         self.conf_threshold = float(conf_threshold)
+        # Triangulation policy: "top2" = reference parity
+        # (pose_estimation.py:35-41); "nview" = robust confidence-weighted
+        # all-view DLT with one residual-rejection pass
+        # (ops.triangulate_nview, beyond-reference accuracy lever).
+        if triangulation not in ("top2", "nview"):
+            raise ValueError(f"unknown triangulation '{triangulation}'")
+        self.triangulation = triangulation
         # ``donate_frames``: accepted for API compatibility but a NO-OP.
         # History (honest accounting): round 2 donated the block so XLA
         # could recycle its HBM for intermediates, but XLA aliases donated
@@ -103,6 +111,7 @@ class ShardedPosePipeline:
                 det_model if fn_use_det else None,
                 det_thr,
                 det_select,
+                self.triangulation,
             )
             donate_nums = (2,) if donate else ()
             if mesh is None:
@@ -156,8 +165,8 @@ class ShardedPosePipeline:
 
 def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
                  decode_mode, flip_shift, fused_stage1, conf_thr, det_model,
-                 det_thr, det_select, variables, det_variables, frames,
-                 bboxes, cam):
+                 det_thr, det_select, triangulation, variables, det_variables,
+                 frames, bboxes, cam):
     T, C, H, W, _ = frames.shape
     if frames.dtype == jnp.uint8:
         # bf16 is the block pipeline's compute dtype for the whole
@@ -218,7 +227,8 @@ def _pipeline_fn(model, input_size, decode, hm_thr, pad, use_fused, flip_perm,
     xy = jnp.where(conf[..., None] > conf_thr, kpts[..., :2], jnp.nan)
     xy_jc = jnp.swapaxes(xy, 1, 2)  # (T, K, C, 2)
     conf_jc = jnp.swapaxes(conf, 1, 2)  # (T, K, C)
-    kpts_3d = triangulate_top2(
+    tri = triangulate_nview if triangulation == "nview" else triangulate_top2
+    kpts_3d = tri(
         xy_jc, conf_jc, cam["K"], cam["dist"], cam["R"], cam["T"]
     )  # (T, K, 3)
 

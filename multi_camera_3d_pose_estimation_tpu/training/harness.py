@@ -422,6 +422,23 @@ def run_accuracy_harness(
     refined = np.asarray(linear_interpolation(kpts_3d))
     err3d_ref = np.linalg.norm(refined - traj, axis=-1)
 
+    # Beyond-reference n-view robust triangulation scored on the SAME 2D
+    # output (VERDICT r4 #3): with >=3 views a corrupted top-2 view has
+    # third-view recourse — only computed when it can differ from top2.
+    err3d_nview = err3d_nview_ref = None
+    if n_cams > 2:
+        from ..ops.triangulation import triangulate_nview
+
+        xy_nv = np.swapaxes(kpts_2d[:, :, :2, :], -1, -2)  # (T, K, C, 2)
+        conf_nv = kpts_2d[:, :, 2, :]  # (T, K, C)
+        k3_nv = np.asarray(triangulate_nview(
+            jnp.asarray(xy_nv), jnp.asarray(conf_nv), cam_stack["K"],
+            cam_stack["dist"], cam_stack["R"], cam_stack["T"],
+        ))
+        err3d_nview = np.linalg.norm(k3_nv - traj, axis=-1)
+        refined_nv = np.asarray(linear_interpolation(k3_nv))
+        err3d_nview_ref = np.linalg.norm(refined_nv - traj, axis=-1)
+
     err3d_sgd = None
     sgd_variant_errs: dict[str, np.ndarray] = {}
     if sgd_refine:
@@ -497,6 +514,10 @@ def run_accuracy_harness(
         "distortion": bool(distortion is not None and np.any(
             np.asarray([c[3] for c in scene.cams]))),
     }
+    if err3d_nview is not None:
+        metrics["mpjpe_3d_nview"] = float(np.nanmean(err3d_nview))
+        metrics["mpjpe_3d_nview_median"] = float(np.nanmedian(err3d_nview))
+        metrics["mpjpe_3d_nview_refined"] = float(np.nanmean(err3d_nview_ref))
     if err3d_sgd is not None:
         metrics["mpjpe_3d_sgd"] = float(np.nanmean(err3d_sgd))
         metrics["mpjpe_3d_sgd_median"] = float(np.nanmedian(err3d_sgd))

@@ -333,3 +333,29 @@ def test_sharded_pipeline_swin_fused_block():
         np.testing.assert_allclose(
             np.asarray(out_s[key]), np.asarray(out_m[key]),
             rtol=5e-3, atol=5e-3, equal_nan=True)
+
+
+def test_pipeline_nview_triangulation_option(small_pipeline_parts):
+    """Opt-in n-view robust triangulation inside the jitted program
+    (VERDICT r4 #3): wire shapes unchanged, unknown policies rejected."""
+    est, cam_stack = small_pipeline_parts
+    rng = np.random.default_rng(2)
+    frames = rng.uniform(size=(4, 2, 120, 160, 3)).astype(np.float32)
+
+    pipe = ShardedPosePipeline(est, cam_stack, conf_threshold=-1.0,
+                               triangulation="nview")
+    out = pipe.run(frames)
+    assert np.asarray(out["kpts_3d"]).shape == (4, 17, 3)
+    assert np.asarray(out["kpts_2d"]).shape == (4, 17, 3, 2)
+    k2 = np.asarray(out["kpts_2d"])
+    k3 = np.asarray(out["kpts_3d"])
+    valid2d = (np.isfinite(k2[:, :, :2, :]).all(2).sum(-1)) >= 2  # (T, K)
+    assert np.isfinite(k3[valid2d]).all()       # solvable -> solved
+    assert np.isnan(k3[~valid2d]).all()         # <2 views -> NaN contract
+    # (Numeric equivalence/robustness of nview itself is pinned on
+    # well-conditioned scenes in tests/test_triangulation.py — a
+    # random-weights model's 2D output is too degenerate to compare a
+    # weighted vs unweighted solve at any meaningful tolerance.)
+
+    with pytest.raises(ValueError, match="unknown triangulation"):
+        ShardedPosePipeline(est, cam_stack, triangulation="midpoint")
