@@ -10,6 +10,7 @@ budget (VERDICT r1 items 5/8 and "What's weak" #3).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from multi_camera_3d_pose_estimation_tpu.models import TopDownEstimator
 from multi_camera_3d_pose_estimation_tpu.models.topdown import (
@@ -87,6 +88,7 @@ def test_flip_shift_convention_pinned():
     assert err_shift < err_plain + 1.0, (err_shift, err_plain)
 
 
+@pytest.mark.slow
 def test_accuracy_harness_smoke():
     """Tiny-budget end-to-end run: structure + detector sanity only."""
     from multi_camera_3d_pose_estimation_tpu.training import run_accuracy_harness
@@ -152,6 +154,7 @@ def test_hard_domain_renders():
     assert np.ptp(exts) > 5.0, exts
 
 
+@pytest.mark.slow
 def test_accuracy_harness_distortion_sgd_smoke():
     """Tiny-budget harness through the NEW paths: distorted rig, hard
     domain, SGD refinement chained — structure/finiteness only."""
@@ -179,6 +182,7 @@ def test_accuracy_harness_swin_smoke():
     assert m["pose_family"] == "heatmap"
 
 
+@pytest.mark.slow
 def test_accuracy_harness_simcc_smoke():
     """SimCC family (RTMPose-t, BASELINE config 3) through the same
     train→deploy harness; flip-shift keys are heatmap-only by design."""
@@ -192,6 +196,7 @@ def test_accuracy_harness_simcc_smoke():
     assert "px_err_flip_shift" not in m
 
 
+@pytest.mark.slow
 def test_pose_trainer_checkpoint_resume(tmp_path):
     """The synthetic pose trainer must save periodic TrainState
     checkpoints and resume from them: a killed full-budget TPU run

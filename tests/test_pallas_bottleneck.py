@@ -72,6 +72,7 @@ def test_fused_stage1_matches_model():
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_estimator_keypoints_match_with_pallas_stage1():
     """TopDownEstimator(use_pallas_stage1=True) must produce the same
     keypoints/gaussians as the plain flax path (interpret mode off-TPU)."""

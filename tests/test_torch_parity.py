@@ -149,6 +149,7 @@ def _convert_and_compare_swin(cfg, tmp_path, seed, hw=(64, 64)):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_swin_converter_vs_independent_torch_forward(tmp_path):
     _convert_and_compare_swin(SMALL_SWIN, tmp_path, seed=0)
 

@@ -43,6 +43,7 @@ def test_write_coco_dataset_roundtrip(tmp_path):
     assert img is not None and img.shape == (96, 96, 3)
 
 
+@pytest.mark.slow
 def test_train_cli_swin_family(tmp_path):
     """Swin names route to the heatmap branch (SwinPose + MSE targets),
     and the npz checkpoint round-trips through the registry."""

@@ -88,6 +88,7 @@ def test_heatmap_train_step_learns(rng):
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_simcc_train_step_runs(rng):
     model = RTMPose(num_joints=4, input_size=(32, 32), cfg=SMALL_RTM, dtype=jnp.float32)
     kp = jnp.asarray(rng.uniform(4, 28, (2, 4, 2)).astype(np.float32))
@@ -111,6 +112,7 @@ def test_simcc_train_step_runs(rng):
     assert float(loss) < l0
 
 
+@pytest.mark.slow
 def test_train_step_dp_mesh(rng):
     """DP train step on the 8-device mesh matches single-device loss."""
     from multi_camera_3d_pose_estimation_tpu.parallel import make_mesh
@@ -154,6 +156,7 @@ def test_train_step_dp_mesh(rng):
     np.testing.assert_allclose(float(loss_s2), float(loss_m2), rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_train_state_checkpoint_roundtrip(tmp_path, rng):
     model = HRNet(num_joints=2, cfg=SMALL_HRNET, dtype=jnp.float32)
 
