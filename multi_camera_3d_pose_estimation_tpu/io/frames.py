@@ -202,25 +202,74 @@ class BatchedFramePipeline:
     """
 
     def __init__(self, video_paths, block_size: int = 16, device=None,
-                 queue_depth: int = 2, stage_to_device: bool = True):
-        self.readers = [VideoReader(p) for p in video_paths]
-        hw = {(r.height, r.width) for r in self.readers}
-        if len(hw) != 1:
-            raise ValueError(f"cameras disagree on frame size: {hw}")
-        self.height, self.width = hw.pop()
+                 queue_depth: int = 2, stage_to_device: bool = True,
+                 native_assembler: bool = True):
+        # Native multi-camera block assembler (VERDICT r4 #1,
+        # native/mediadec.cpp::mda_*): each camera's decoder thread writes
+        # sws_scale RGB straight into its strided slice of the
+        # (B, C, H, W, 3) block — zero extra copies, no GIL, all cameras
+        # concurrent.  Falls back to per-camera VideoReader + Python
+        # assembly when the library (or the videos) can't serve it.
+        self._asm = None
+        self._asm_lib = None
+        self.readers = []
+        if native_assembler and all(os.path.exists(str(p)) for p in video_paths):
+            lib = load_mediadec()
+            if lib is not None and hasattr(lib, "mda_open"):
+                arr = (ctypes.c_char_p * len(video_paths))(
+                    *[str(p).encode() for p in video_paths]
+                )
+                handle = lib.mda_open(arr, len(video_paths))
+                if handle:
+                    self._asm = handle
+                    self._asm_lib = lib
+                    w = ctypes.c_int()
+                    h = ctypes.c_int()
+                    fps = ctypes.c_double()
+                    nf = ctypes.c_longlong()
+                    lib.mda_info(handle, w, h, fps, nf)
+                    self.height, self.width = h.value, w.value
+        if self._asm is None:
+            self.readers = [VideoReader(p) for p in video_paths]
+            hw = {(r.height, r.width) for r in self.readers}
+            if len(hw) != 1:
+                raise ValueError(f"cameras disagree on frame size: {hw}")
+            self.height, self.width = hw.pop()
         self.block_size = block_size
-        self.n_cams = len(self.readers)
+        self.n_cams = len(video_paths)
         self.device = device
         # ``stage_to_device=False`` yields HOST blocks (uint8 numpy) —
         # for consumers that substitute their own device buffers (the
         # `bench.py stream_device` H2D-isolation mode) or stage later.
         self.stage_to_device = bool(stage_to_device)
         self._q: Queue = Queue(maxsize=queue_depth)
+        self._closing = False
         self._thread = threading.Thread(target=self._producer, daemon=True)
         self._thread.start()
 
     def _producer(self):
         B = self.block_size
+        if self._asm is not None:
+            lib, handle = self._asm_lib, self._asm
+            while not self._closing:
+                out = np.empty(
+                    (B, self.n_cams, self.height, self.width, 3), np.uint8
+                )
+                n = lib.mda_next_block(
+                    handle,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                    B,
+                )
+                if n == 0:
+                    self._q.put(None)
+                    return
+                if n < B:
+                    out[n:] = 0  # pad only the one partial tail block
+                self._q.put((out, n))
+                if n < B:
+                    self._q.put(None)
+                    return
+            return
         while True:
             blocks = [r.read_block(B) for r in self.readers]
             n = min(b.shape[0] for b in blocks)
@@ -254,5 +303,22 @@ class BatchedFramePipeline:
             yield dev_block, n
 
     def close(self):
+        # Shutdown handshake: the producer thread may be blocked in
+        # `mda_next_block` (decoding) or in `Queue.put` (queue full) —
+        # freeing the native handle under it would be a use-after-free.
+        # Flag it down, drain the queue until it exits, then free.
+        self._closing = True
+        import time as _time
+        from queue import Empty
+
+        deadline = _time.monotonic() + 10.0
+        while self._thread.is_alive() and _time.monotonic() < deadline:
+            try:
+                self._q.get(timeout=0.05)
+            except Empty:
+                pass
+        if self._asm is not None and not self._thread.is_alive():
+            self._asm_lib.mda_close(self._asm)
+            self._asm = None
         for r in self.readers:
             r.close()

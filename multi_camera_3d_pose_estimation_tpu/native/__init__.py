@@ -40,8 +40,15 @@ def build(force: bool = False) -> bool:
     whichever artifact exists.
     """
     global _SO
+    src = os.path.join(_DIR, "mediadec.cpp")
     if os.path.exists(_SO) and not force:
-        return True
+        # Stale-artifact guard: rebuild when the source is newer than the
+        # library (make's dependency rule decides; a no-op when current).
+        try:
+            if os.path.getmtime(_SO) >= os.path.getmtime(src):
+                return True
+        except OSError:
+            return True
     build_dir = _DIR
     if not os.access(_DIR, os.W_OK):
         build_dir = _cache_build_dir()
@@ -54,7 +61,8 @@ def build(force: bool = False) -> bool:
         except OSError:
             return False
         cached = os.path.join(build_dir, "libmediadec.so")
-        if os.path.exists(cached) and not force:
+        if (os.path.exists(cached) and not force
+                and os.path.getmtime(cached) >= os.path.getmtime(src)):
             _SO = cached
             return True
     try:
@@ -118,6 +126,27 @@ def load_mediadec():
         ctypes.c_longlong,
         ctypes.POINTER(ctypes.c_int),
     ]
+    try:
+        lib.mda_open.restype = ctypes.c_void_p
+        lib.mda_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
+        lib.mda_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.mda_next_block.restype = ctypes.c_int
+        lib.mda_next_block.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int,
+        ]
+        lib.mda_close.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        # A stale cached library without the block assembler still serves
+        # the per-camera decode path; callers feature-check with hasattr.
+        pass
     lib.md_remux_with_audio.restype = ctypes.c_int
     lib.md_remux_with_audio.argtypes = [
         ctypes.c_char_p,

@@ -107,9 +107,139 @@ void prefetch_loop(VideoHandle* h) {
   }
 }
 
+// Multi-camera block assembler (VERDICT r4 #1): one persistent worker
+// thread per camera decodes straight into its slice of the caller's
+// preallocated (B, C, H, W, 3) uint8 block — sws_scale's RGB output lands
+// at its final strided address, so block assembly costs ZERO extra copies
+// and runs outside the Python GIL.  (The previous path decoded into a
+// per-frame ring, memcpy'd ring→per-camera buffer, then Python-copied
+// per-camera→block serially — measured 560 fps on a 1-core host vs
+// 2864 fps device compute, PROFILE.md round 4.)
+struct Assembler {
+  std::vector<VideoHandle*> cams;
+  int n_cams = 0, width = 0, height = 0;
+  size_t frame_bytes = 0;
+
+  std::mutex mu;
+  std::condition_variable cv_job, cv_done;
+  uint64_t job_seq = 0;
+  unsigned char* job_out = nullptr;
+  int job_max = 0;
+  size_t job_stride = 0;  // bytes between frame t and t+1 for one camera
+  std::vector<int> got;
+  int done_count = 0;
+  bool stop = false;
+  std::vector<std::thread> workers;
+};
+
+void assembler_worker(Assembler* a, int c) {
+  uint64_t seen = 0;
+  while (true) {
+    unsigned char* base;
+    int maxf;
+    size_t stride;
+    {
+      std::unique_lock<std::mutex> lk(a->mu);
+      a->cv_job.wait(lk, [&] { return a->stop || a->job_seq != seen; });
+      if (a->stop) return;
+      seen = a->job_seq;
+      base = a->job_out + size_t(c) * a->frame_bytes;
+      maxf = a->job_max;
+      stride = a->job_stride;
+    }
+    int n = 0;
+    while (n < maxf && decode_next_into(a->cams[c], base + size_t(n) * stride))
+      ++n;
+    {
+      std::lock_guard<std::mutex> lk(a->mu);
+      a->got[c] = n;
+      if (++a->done_count == a->n_cams) a->cv_done.notify_all();
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Open n_cams videos as one block assembler.  All videos must share one
+// frame geometry.  Returns nullptr on any failure.
+void* md_open(const char* path);  // fwd decl for mda_open
+void md_close(void* vh);
+
+void* mda_open(const char** paths, int n_cams) {
+  if (n_cams < 1) return nullptr;
+  auto* a = new Assembler();
+  for (int c = 0; c < n_cams; ++c) {
+    auto* vh = static_cast<VideoHandle*>(md_open(paths[c]));
+    if (!vh) {
+      for (auto* p : a->cams) md_close(p);
+      delete a;
+      return nullptr;
+    }
+    a->cams.push_back(vh);
+  }
+  a->n_cams = n_cams;
+  a->width = a->cams[0]->width;
+  a->height = a->cams[0]->height;
+  for (auto* vh : a->cams) {
+    if (vh->width != a->width || vh->height != a->height) {
+      for (auto* p : a->cams) md_close(p);
+      delete a;
+      return nullptr;
+    }
+  }
+  a->frame_bytes = size_t(a->width) * a->height * 3;
+  a->got.assign(n_cams, 0);
+  for (int c = 0; c < n_cams; ++c)
+    a->workers.emplace_back(assembler_worker, a, c);
+  return a;
+}
+
+void mda_info(void* va, int* w, int* hgt, double* fps, long long* nframes) {
+  auto* a = static_cast<Assembler*>(va);
+  *w = a->width;
+  *hgt = a->height;
+  *fps = a->cams[0]->fps;
+  long long nf = -1;
+  for (auto* vh : a->cams) {
+    if (vh->nframes >= 0 && (nf < 0 || vh->nframes < nf)) nf = vh->nframes;
+  }
+  *nframes = nf;
+}
+
+// Fill `out` = (max_frames, n_cams, H, W, 3) uint8 with the next block.
+// Every camera decodes its slice concurrently; returns min over cameras of
+// frames decoded (0 = EOF).  Rows beyond the returned count are NOT
+// zeroed (the caller pads its final partial block once).
+int mda_next_block(void* va, unsigned char* out, int max_frames) {
+  auto* a = static_cast<Assembler*>(va);
+  std::unique_lock<std::mutex> lk(a->mu);
+  a->job_out = out;
+  a->job_max = max_frames;
+  a->job_stride = size_t(a->n_cams) * a->frame_bytes;
+  a->done_count = 0;
+  ++a->job_seq;
+  a->cv_job.notify_all();
+  a->cv_done.wait(lk, [a] { return a->done_count == a->n_cams; });
+  int n = max_frames;
+  for (int c = 0; c < a->n_cams; ++c)
+    if (a->got[c] < n) n = a->got[c];
+  return n;
+}
+
+void mda_close(void* va) {
+  auto* a = static_cast<Assembler*>(va);
+  {
+    std::lock_guard<std::mutex> lk(a->mu);
+    a->stop = true;
+    a->cv_job.notify_all();
+  }
+  for (auto& t : a->workers)
+    if (t.joinable()) t.join();
+  for (auto* vh : a->cams) md_close(vh);
+  delete a;
+}
 
 void* md_open(const char* path) {
   auto* h = new VideoHandle();

@@ -246,3 +246,60 @@ def test_sync_inspection_grid(tmp_path):
     mid1 = grid[th+5:-5, 2*160+5:3*160-5, 2].mean()
     assert abs(mid0 - 100) < 15, mid0
     assert abs(mid1 - 60) < 15, mid1
+
+
+def test_native_block_assembler_matches_fallback(tmp_path):
+    """VERDICT r4 #1: the native multi-camera block assembler
+    (mediadec.cpp::mda_*) must produce byte-identical blocks to the
+    per-camera VideoReader + Python assembly path, including the
+    zero-padded partial tail and the shortest-camera EOF rule."""
+    lib = load_mediadec()
+    if lib is None or not hasattr(lib, "mda_open"):
+        import pytest
+
+        pytest.skip("native assembler unavailable")
+    # Distinct per-camera content; camera 2 is SHORTER (EOF rule).
+    p1 = write_test_video(tmp_path / "m1.mp4", n_frames=11)
+    p2 = str(tmp_path / "m2.mp4")
+    vw = cv2.VideoWriter(p2, cv2.VideoWriter_fourcc(*"mp4v"), 15.0, (64, 48))
+    for i in range(9):
+        frame = np.zeros((48, 64, 3), np.uint8)
+        frame[..., 1] = (7 * i + 3) % 250  # green ramp, distinct from cam 1
+        vw.write(frame)
+    vw.release()
+
+    nat = BatchedFramePipeline([p1, p2], block_size=4, stage_to_device=False)
+    assert nat._asm is not None, "native assembler did not engage"
+    nat_blocks = [(np.array(b), n) for b, n in nat]
+    nat.close()
+
+    ref = BatchedFramePipeline([p1, p2], block_size=4, stage_to_device=False,
+                               native_assembler=False)
+    assert ref._asm is None
+    ref_blocks = [(np.array(b), n) for b, n in ref]
+    ref.close()
+
+    assert [n for _, n in nat_blocks] == [n for _, n in ref_blocks] == [4, 4, 1]
+    for (a, n), (b, _) in zip(nat_blocks, ref_blocks):
+        np.testing.assert_array_equal(a, b)
+    # Tail padding is zeroed beyond n_valid.
+    tail, n = nat_blocks[-1]
+    assert (tail[n:] == 0).all()
+
+
+def test_native_block_assembler_close_midstream(tmp_path):
+    """Closing while the producer is mid-stream must not crash or leak the
+    native handle (shutdown handshake in BatchedFramePipeline.close)."""
+    lib = load_mediadec()
+    if lib is None or not hasattr(lib, "mda_open"):
+        import pytest
+
+        pytest.skip("native assembler unavailable")
+    p1 = write_test_video(tmp_path / "n1.mp4", n_frames=40)
+    p2 = write_test_video(tmp_path / "n2.mp4", n_frames=40)
+    pipe = BatchedFramePipeline([p1, p2], block_size=4, stage_to_device=False,
+                                queue_depth=1)
+    it = iter(pipe)
+    next(it)  # consume one block, leave the rest in flight
+    pipe.close()
+    assert pipe._asm is None  # handle actually freed
