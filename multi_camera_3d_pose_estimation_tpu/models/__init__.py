@@ -2,6 +2,7 @@
 
 from .hrnet import HRNet, HRNET_W32, HRNET_W48
 from .rtmpose import RTMPose, CSPNeXt, RTMPOSE_T, RTMPOSE_S, RTMPOSE_M
+from .yolox import YOLOX, YOLOX_TINY
 from .swin import SwinPose, SwinTransformer, SWIN_B, SWIN_L, SWIN_T
 from .detector import (
     CenterNetDetector,
@@ -29,6 +30,8 @@ __all__ = [
     "HRNET_W32",
     "HRNET_W48",
     "RTMPose",
+    "YOLOX",
+    "YOLOX_TINY",
     "CSPNeXt",
     "RTMPOSE_T",
     "RTMPOSE_S",

@@ -24,6 +24,7 @@ __all__ = [
     "load_torch_hrnet",
     "load_torch_rtmpose",
     "load_torch_swin",
+    "load_torch_yolox",
     "torch_state_dict_to_flat",
 ]
 
@@ -547,3 +548,143 @@ def _natural(key: str):
 
     parts = re.split(r"(\d+)", key)
     return tuple(int(p) if p.isdigit() else p for p in parts)
+
+
+def _yolox_key_table(cfg: dict | None):
+    """(torch_key, flax_path, transform) triplets for the YOLOX layout.
+
+    Name-based like RTMPose/Swin: our flax YOLOX names every submodule
+    after the MMDetection torch hierarchy (models/yolox.py), covering the
+    reference's named detector checkpoint surface
+    (examples/model_paths.yaml:1-7, `yolox-tiny`).
+    """
+    from .yolox import YOLOX_TINY, _DARKNET_P5
+
+    cfg = cfg or YOLOX_TINY
+    table: list[tuple[str, tuple[str, ...], Any]] = []
+
+    def convmodule(tprefix: str, fprefix: tuple[str, ...]):
+        table.append((f"{tprefix}.conv.weight",
+                      ("params", *fprefix, "conv", "kernel"), _conv_w))
+        table.append((f"{tprefix}.bn.weight", ("params", *fprefix, "bn", "scale"), None))
+        table.append((f"{tprefix}.bn.bias", ("params", *fprefix, "bn", "bias"), None))
+        table.append((f"{tprefix}.bn.running_mean",
+                      ("batch_stats", *fprefix, "bn", "mean"), None))
+        table.append((f"{tprefix}.bn.running_var",
+                      ("batch_stats", *fprefix, "bn", "var"), None))
+
+    def conv2d(tprefix: str, fprefix: tuple[str, ...]):
+        table.append((f"{tprefix}.weight", ("params", *fprefix, "kernel"), _conv_w))
+        table.append((f"{tprefix}.bias", ("params", *fprefix, "bias"), None))
+
+    def csplayer(tprefix: str, fprefix: tuple[str, ...], num_blocks: int):
+        convmodule(f"{tprefix}.main_conv", (*fprefix, "main_conv"))
+        convmodule(f"{tprefix}.short_conv", (*fprefix, "short_conv"))
+        convmodule(f"{tprefix}.final_conv", (*fprefix, "final_conv"))
+        for b in range(num_blocks):
+            bb = (*fprefix, f"blocks_{b}")
+            convmodule(f"{tprefix}.blocks.{b}.conv1", (*bb, "conv1"))
+            convmodule(f"{tprefix}.blocks.{b}.conv2", (*bb, "conv2"))
+
+    def d(n):
+        return max(int(round(n * cfg["deepen"])), 1)
+
+    # Backbone (CSPDarknet with Focus stem).
+    convmodule("backbone.stem.conv", ("backbone", "stem_conv"))
+    for s, (_ch, nb, _add_id, use_spp) in enumerate(_DARKNET_P5, start=1):
+        t = f"backbone.stage{s}"
+        convmodule(f"{t}.0", ("backbone", f"stage{s}_down"))
+        csp_idx = 1
+        if use_spp:
+            convmodule(f"{t}.1.conv1", ("backbone", f"stage{s}_spp", "conv1"))
+            convmodule(f"{t}.1.conv2", ("backbone", f"stage{s}_spp", "conv2"))
+            csp_idx = 2
+        csplayer(f"{t}.{csp_idx}", ("backbone", f"stage{s}_csp"), d(nb))
+
+    # Neck (YOLOXPAFPN).
+    nb = d(3)
+    for i in range(2):
+        convmodule(f"neck.reduce_layers.{i}", ("neck", f"reduce_{i}"))
+        csplayer(f"neck.top_down_blocks.{i}", ("neck", f"top_down_{i}"), nb)
+        convmodule(f"neck.downsamples.{i}", ("neck", f"downsample_{i}"))
+        csplayer(f"neck.bottom_up_blocks.{i}", ("neck", f"bottom_up_{i}"), nb)
+    for i in range(3):
+        convmodule(f"neck.out_convs.{i}", ("neck", f"out_{i}"))
+
+    # Decoupled head.
+    for lvl in range(3):
+        for i in range(2):
+            convmodule(f"bbox_head.multi_level_cls_convs.{lvl}.{i}",
+                       ("head", f"cls_convs_{lvl}_{i}"))
+            convmodule(f"bbox_head.multi_level_reg_convs.{lvl}.{i}",
+                       ("head", f"reg_convs_{lvl}_{i}"))
+        conv2d(f"bbox_head.multi_level_conv_cls.{lvl}", ("head", f"conv_cls_{lvl}"))
+        conv2d(f"bbox_head.multi_level_conv_reg.{lvl}", ("head", f"conv_reg_{lvl}"))
+        conv2d(f"bbox_head.multi_level_conv_obj.{lvl}", ("head", f"conv_obj_{lvl}"))
+    return table
+
+
+def load_torch_yolox(variables: dict, path: str, cfg: dict | None = None) -> dict:
+    """Fill our YOLOX variables pytree from an MMDet YOLOX state dict.
+
+    The reference's named detector checkpoint surface (`yolox-tiny`,
+    examples/model_paths.yaml:1-7).  Strict both ways, like the pose
+    converters: every expected key must exist with the expected
+    (transposed) shape, and unexpected tensors (beyond bookkeeping and
+    the mmengine `data_preprocessor.` constants) abort the load.
+    """
+    state = torch_state_dict_to_flat(path)
+    state = {k.removeprefix("module."): v for k, v in state.items()
+             if not k.startswith("data_preprocessor.")}
+
+    table = _yolox_key_table(cfg)
+    updates: dict[tuple[str, ...], np.ndarray] = {}
+    missing: list[str] = []
+    for tkey, fpath, tf in table:
+        if tkey not in state:
+            missing.append(tkey)
+            continue
+        arr = state[tkey]
+        updates[fpath] = tf(arr) if tf else arr
+    if missing:
+        raise ValueError(
+            f"YOLOX checkpoint missing {len(missing)} expected keys, e.g. "
+            f"{missing[:5]} — is this an MMDet YOLOX checkpoint matching "
+            f"the configured widen/deepen factors?"
+        )
+    expected = {tkey for tkey, _, _ in table}
+    leftovers = [
+        k for k in state
+        if k not in expected and not k.endswith("num_batches_tracked")
+    ]
+    if leftovers:
+        raise ValueError(
+            f"YOLOX checkpoint has {len(leftovers)} unexpected tensors, "
+            f"e.g. {sorted(leftovers)[:5]} — an unsupported YOLOX variant "
+            f"(depthwise/EMA)?  Refusing to load partially."
+        )
+
+    applied = set()
+
+    def apply(p, leaf):
+        key = tuple(_path_keys(p))
+        if key in updates:
+            new = updates[key]
+            if tuple(new.shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(key)}: checkpoint "
+                    f"{new.shape} vs model {leaf.shape}"
+                )
+            applied.add(key)
+            return jnp.asarray(new, leaf.dtype)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(apply, variables)
+    unapplied = set(updates) - applied
+    if unapplied:
+        raise ValueError(
+            f"{len(unapplied)} converted tensors matched no model parameter, "
+            f"e.g. {sorted('/'.join(k) for k in unapplied)[:5]} — flax/torch "
+            f"layout drift?"
+        )
+    return out

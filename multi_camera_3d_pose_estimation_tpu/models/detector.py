@@ -98,7 +98,21 @@ class CenterNetDetector(nn.Module):
 
 
 def decode_top1(outputs: dict, stride: int = 16) -> tuple[jax.Array, jax.Array]:
-    """Head maps → top-1 box (B, 4) + score (B,).  One argmax, no NMS."""
+    """Head maps → top-1 box (B, 4) + score (B,).  One argmax, no NMS.
+
+    Accepts either CenterNet head maps (``center``/``wh``/``offset``) or
+    the YOLOX flat candidate set (``boxes_all``/``scores_all``,
+    models/yolox.py) — both are probability-scored, so downstream
+    thresholds compare identically.
+    """
+    if "boxes_all" in outputs:
+        scores = outputs["scores_all"]  # (B, N), already sigmoided
+        idx = jnp.argmax(scores, axis=-1)
+        score = jnp.take_along_axis(scores, idx[:, None], axis=-1)[:, 0]
+        boxes = jnp.take_along_axis(
+            outputs["boxes_all"], idx[:, None, None].repeat(4, -1), axis=1
+        )[:, 0]
+        return boxes, score
     center = outputs["center"]  # (B, h, w)
     B, h, w = center.shape
     flat = center.reshape(B, h * w)
@@ -125,7 +139,18 @@ def decode_topk(outputs: dict, k: int, stride: int = 16
     on the centre heatmap (so the k candidates are k distinct blobs,
     not k pixels of the same blob), then `lax.top_k`.  Static shapes,
     one reduce_window + one top_k — no data-dependent control flow.
+
+    YOLOX candidates (``boxes_all``/``scores_all``) take a plain top-k
+    (no blob suppression — neighbouring anchors of one person can occupy
+    several slots; `select_consistent_boxes`'s cross-view/temporal
+    utility tolerates duplicates).
     """
+    if "boxes_all" in outputs:
+        vals, idx = jax.lax.top_k(outputs["scores_all"], k)  # (B, k)
+        boxes = jnp.take_along_axis(
+            outputs["boxes_all"], idx[..., None].repeat(4, -1), axis=1
+        )
+        return boxes, vals
     center = outputs["center"]  # (B, h, w)
     B, h, w = center.shape
     pooled = jax.lax.reduce_window(

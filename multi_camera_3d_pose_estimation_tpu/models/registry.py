@@ -178,6 +178,16 @@ DETECTOR_REGISTRY: dict[str, dict[str, Any]] = {
     "centernet_w16": {"width": 16},
     # Tiny CPU-trainable detector (tests/demos).
     "test_centernet_w8": {"width": 8},
+    # The reference's named zoo detector (examples/model_paths.yaml:1-7):
+    # MMDet YOLOX, imported via convert.load_torch_yolox.
+    "yolox_tiny": {"family": "yolox",
+                   "cfg": {"widen": 0.375, "deepen": 0.33, "num_classes": 80}},
+    "yolox_s": {"family": "yolox",
+                "cfg": {"widen": 0.5, "deepen": 0.33, "num_classes": 80}},
+    # Tiny CPU-trainable/testable YOLOX (tests).
+    "test_yolox_micro": {"family": "yolox",
+                         "cfg": {"widen": 0.125, "deepen": 0.33,
+                                 "num_classes": 80}},
 }
 
 
@@ -204,6 +214,18 @@ def build_detector(
             f"unknown detector '{name}'; available: {sorted(DETECTOR_REGISTRY)}"
         )
     spec = DETECTOR_REGISTRY[name]
+    if spec.get("family") == "yolox":
+        from .yolox import YOLOX
+
+        cfg = spec["cfg"]
+        model = YOLOX(widen=cfg["widen"], deepen=cfg["deepen"],
+                      num_classes=cfg["num_classes"], dtype=dtype)
+        h, w = input_hw
+        variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
+        if checkpoint:
+            variables = _load_checkpoint(variables, checkpoint, "yolox", cfg)
+        return SinglePersonDetector(model, variables, bbox_thr=bbox_thr,
+                                    select=select)
     if spec["width"] is None:
         return SinglePersonDetector(bbox_thr=bbox_thr)
 
@@ -232,6 +254,10 @@ def _load_checkpoint(variables, path: str, family: str, cfg: dict | None = None)
             from .convert import load_torch_swin
 
             return load_torch_swin(variables, path, cfg)
+        if family == "yolox":
+            from .convert import load_torch_yolox
+
+            return load_torch_yolox(variables, path, cfg)
         raise ValueError(f"torch checkpoint conversion not implemented for {family}")
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=False))

@@ -82,6 +82,7 @@ def test_solve_pnp(rng, cam_truth):
     np.testing.assert_allclose(np.asarray(tvec), t_true, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stereo_calibrate(rng, cam_truth):
     K0, dist0 = cam_truth
     K1 = np.array([[760.0, 0.0, 310.0], [0.0, 765.0, 250.0], [0.0, 0.0, 1.0]])

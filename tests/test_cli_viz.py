@@ -65,6 +65,7 @@ def test_registry_names():
         resolve_model_name("nope")
 
 
+@pytest.mark.slow
 def test_calibrate_intrinsics_from_images(rng):
     K = np.array([[620.0, 0, 320.0], [0, 620.0, 240.0], [0, 0, 1]])
     images, k = render_board_views(rng, K)

@@ -189,6 +189,7 @@ def test_torch_hrnet_converter_rejects_non_mmpose_names(tmp_path, hrnet_small):
         load_torch_hrnet(variables, path, SMALL_HRNET)
 
 
+@pytest.mark.slow
 def test_flip_test_and_dark_decode_run(hrnet_small):
     model, variables = hrnet_small
     frames = np.random.default_rng(9).uniform(size=(2, 96, 96, 3)).astype(np.float32)
@@ -205,6 +206,7 @@ def test_flip_test_and_dark_decode_run(hrnet_small):
     assert np.asarray(out_plain["keypoints"]).shape == (2, 17, 3)
 
 
+@pytest.mark.slow
 def test_simcc_flip_test_runs(rtmpose_small):
     model, variables = rtmpose_small
     frames = np.random.default_rng(11).uniform(size=(2, 96, 96, 3)).astype(np.float32)
@@ -217,6 +219,7 @@ def test_simcc_flip_test_runs(rtmpose_small):
     assert (k[..., 2] > 0).all() and (k[..., 2] <= 1.0 + 1e-6).all()
 
 
+@pytest.mark.slow
 def test_orbax_checkpoint_roundtrip(tmp_path):
     """Registry restores orbax directory checkpoints (the npz path's
     sibling branch)."""

@@ -123,6 +123,7 @@ def test_fused_stage1_param_tree_unchanged():
         assert a.shape == b.shape
 
 
+@pytest.mark.slow
 def test_pallas_stage1_rejects_non_hrnet_heatmap_models():
     """use_pallas_stage1 fuses HRNet's stage-1 Bottlenecks; a heatmap
     model without them (e.g. Swin) must be rejected with a clear error,

@@ -34,6 +34,7 @@ def _block_pair(cfg_kwargs, x):
 
 
 @pytest.mark.parametrize("shift", [0, 2])
+@pytest.mark.slow
 def test_block_matches_flax_unpadded(shift):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)), jnp.float32)
@@ -83,6 +84,7 @@ def test_block_matches_flax_padded(shift):
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_block_bf16_production_window():
     """win=7 (Swin-B) on a 20x21 bf16 map with shift — the shipped path."""
     rng = np.random.default_rng(2)
@@ -149,6 +151,7 @@ def test_feasibility_gate():
                        mlp_ratio=4) is None
 
 
+@pytest.mark.slow
 def test_swinpose_block_flag_and_fallback(monkeypatch):
     """Full model: 'block' output matches einsum; the kernel is actually
     reached; infeasible stages fall back to packed attention."""
@@ -216,6 +219,7 @@ def test_window_roll_perm_equals_reverse_then_partition():
     )
 
 
+@pytest.mark.slow
 def test_chained_stage_matches_einsum_with_padding(monkeypatch):
     """Multi-block stages run the chained window layout (one perm gather
     between blocks, pads zeroed in-kernel) and must match the einsum

@@ -143,6 +143,7 @@ def test_sharded_refine_step_decreases_loss():
     assert np.isfinite(np.asarray(params["rvecs"])).all()
 
 
+@pytest.mark.slow
 def test_run_clips_batched(small_pipeline_parts):
     from multi_camera_3d_pose_estimation_tpu.parallel import run_clips_batched
 
@@ -202,6 +203,7 @@ def test_run_clips_batched_unsplit(small_pipeline_parts):
     )
 
 
+@pytest.mark.slow
 def test_clip_mesh_2d_clips_outer(small_pipeline_parts):
     """DCN-aware 2-D mesh: clips-major over the outer axis, frames inner.
 
@@ -293,6 +295,7 @@ def test_multiprocess_distributed_mesh(tmp_path):
         assert f"proc {i} OK" in out
 
 
+@pytest.mark.slow
 def test_sharded_pipeline_swin_fused_block():
     """Swin + the whole-block Pallas kernel under the 8-device data mesh.
 

@@ -146,6 +146,7 @@ def test_extrinsic_refiner_recovers_pose(rng):
     assert e_opt < 0.5 * e_bad, (e_bad, e_opt)
 
 
+@pytest.mark.slow
 def test_unified_optimizer_learns_extrinsics_from_samples(rng):
     traj, cams, gauss = make_scene(rng, T=12, J=6, n_cams=3, sigma=2.0)
     true_R = cams[2][1].copy()
@@ -180,6 +181,7 @@ def test_unified_optimizer_learns_extrinsics_from_samples(rng):
     assert reproj(R_opt, T_opt) < 0.6 * reproj(cams_bad[2][1], cams_bad[2][2])
 
 
+@pytest.mark.slow
 def test_use_nn_path_runs(rng):
     traj, cams, gauss = make_scene(rng, T=10, J=4, n_cams=3)
     ref = PoseRefiner(gauss, traj, cams)

@@ -62,6 +62,7 @@ def test_random_flip_consistency(rng):
     )
 
 
+@pytest.mark.slow
 def test_heatmap_train_step_learns(rng):
     """A tiny HRNet fits one fixed heatmap batch (loss drops >50%)."""
     model = HRNet(num_joints=4, cfg=SMALL_HRNET, dtype=jnp.float32)
