@@ -3,6 +3,7 @@
 from .hrnet import HRNet, HRNET_W32, HRNET_W48
 from .rtmpose import RTMPose, CSPNeXt, RTMPOSE_T, RTMPOSE_S, RTMPOSE_M
 from .yolox import YOLOX, YOLOX_TINY
+from .rtmdet import RTMDet, RTMDET_M, RTMDET_TINY
 from .swin import SwinPose, SwinTransformer, SWIN_B, SWIN_L, SWIN_T
 from .detector import (
     CenterNetDetector,
@@ -32,6 +33,9 @@ __all__ = [
     "RTMPose",
     "YOLOX",
     "YOLOX_TINY",
+    "RTMDet",
+    "RTMDET_M",
+    "RTMDET_TINY",
     "CSPNeXt",
     "RTMPOSE_T",
     "RTMPOSE_S",

@@ -688,3 +688,195 @@ def load_torch_yolox(variables: dict, path: str, cfg: dict | None = None) -> dic
             f"layout drift?"
         )
     return out
+
+
+def _rtmdet_key_table(cfg: dict | None):
+    """(torch_key, flax_path, transform) triplets for the RTMDet layout,
+    plus the share_conv duplicate map.
+
+    Returns ``(table, shared)`` where ``shared`` maps each level>0 head
+    conv key to its level-0 source — mmdet's RTMDetSepBNHead
+    (`share_conv=True`) aliases those modules, so the state dict carries
+    identical copies that `load_torch_rtmdet` verifies and folds into
+    the single flax kernel.
+
+    Covers the reference's PRIMARY detector checkpoint surface
+    (`coco_base` = rtmdet_m person-only weights,
+    /root/reference/examples/model_paths.yaml:1-4).  Backbone keys are
+    identical to the RTMPose table (same CSPNeXt, detection out_indices).
+    """
+    from .rtmdet import RTMDET_M
+    from .rtmpose import _P5
+
+    cfg = cfg or RTMDET_M
+    table: list[tuple[str, tuple[str, ...], Any]] = []
+
+    def convmodule(tprefix: str, fprefix: tuple[str, ...]):
+        table.append((f"{tprefix}.conv.weight",
+                      ("params", *fprefix, "conv", "kernel"), _conv_w))
+        table.append((f"{tprefix}.bn.weight", ("params", *fprefix, "bn", "scale"), None))
+        table.append((f"{tprefix}.bn.bias", ("params", *fprefix, "bn", "bias"), None))
+        table.append((f"{tprefix}.bn.running_mean",
+                      ("batch_stats", *fprefix, "bn", "mean"), None))
+        table.append((f"{tprefix}.bn.running_var",
+                      ("batch_stats", *fprefix, "bn", "var"), None))
+
+    def d(n):
+        return max(int(round(n * cfg["deepen"])), 1)
+
+    def cspnext_layer(tprefix: str, fprefix: tuple[str, ...], num_blocks: int,
+                      attention: bool):
+        convmodule(f"{tprefix}.main_conv", (*fprefix, "main_conv"))
+        convmodule(f"{tprefix}.short_conv", (*fprefix, "short_conv"))
+        convmodule(f"{tprefix}.final_conv", (*fprefix, "final_conv"))
+        for b in range(num_blocks):
+            bb = (*fprefix, f"blocks_{b}")
+            convmodule(f"{tprefix}.blocks.{b}.conv1", (*bb, "conv1"))
+            convmodule(f"{tprefix}.blocks.{b}.conv2.depthwise_conv",
+                       (*bb, "conv2", "depthwise_conv"))
+            convmodule(f"{tprefix}.blocks.{b}.conv2.pointwise_conv",
+                       (*bb, "conv2", "pointwise_conv"))
+        if attention:
+            table.append((f"{tprefix}.attention.fc.weight",
+                          ("params", *fprefix, "attention", "fc", "kernel"),
+                          _conv_w))
+            table.append((f"{tprefix}.attention.fc.bias",
+                          ("params", *fprefix, "attention", "fc", "bias"), None))
+
+    # Backbone (CSPNeXt, channel attention ON — same keys as RTMPose's).
+    for i in range(3):
+        convmodule(f"backbone.stem.{i}", ("backbone", f"stem_{i}"))
+    for s, (_ch, nb, _add_id, use_spp) in enumerate(_P5, start=1):
+        t = f"backbone.stage{s}"
+        convmodule(f"{t}.0", ("backbone", f"stage{s}_down"))
+        csp_idx = 1
+        if use_spp:
+            convmodule(f"{t}.1.conv1", ("backbone", f"stage{s}_spp", "conv1"))
+            convmodule(f"{t}.1.conv2", ("backbone", f"stage{s}_spp", "conv2"))
+            csp_idx = 2
+        cspnext_layer(f"{t}.{csp_idx}", ("backbone", f"stage{s}_csp"), d(nb),
+                      attention=True)
+
+    # Neck (CSPNeXtPAFPN, channel attention OFF in its CSP layers).
+    nb = cfg.get("num_csp_blocks", 2)
+    for i in range(2):
+        convmodule(f"neck.reduce_layers.{i}", ("neck", f"reduce_{i}"))
+        cspnext_layer(f"neck.top_down_blocks.{i}", ("neck", f"top_down_{i}"),
+                      nb, attention=False)
+        convmodule(f"neck.downsamples.{i}", ("neck", f"downsample_{i}"))
+        cspnext_layer(f"neck.bottom_up_blocks.{i}", ("neck", f"bottom_up_{i}"),
+                      nb, attention=False)
+    for i in range(3):
+        convmodule(f"neck.out_convs.{i}", ("neck", f"out_{i}"))
+
+    # SepBN head: shared conv kernels (level 0 is the source of truth),
+    # per-level BN, per-level 1x1 prediction convs.
+    stacked = cfg.get("stacked_convs", 2)
+    shared: dict[str, str] = {}
+    for i in range(stacked):
+        table.append((f"bbox_head.cls_convs.0.{i}.conv.weight",
+                      ("params", "head", f"cls_conv_{i}", "kernel"), _conv_w))
+        table.append((f"bbox_head.reg_convs.0.{i}.conv.weight",
+                      ("params", "head", f"reg_conv_{i}", "kernel"), _conv_w))
+        for lvl in (1, 2):
+            shared[f"bbox_head.cls_convs.{lvl}.{i}.conv.weight"] = \
+                f"bbox_head.cls_convs.0.{i}.conv.weight"
+            shared[f"bbox_head.reg_convs.{lvl}.{i}.conv.weight"] = \
+                f"bbox_head.reg_convs.0.{i}.conv.weight"
+    for lvl in range(3):
+        for i in range(stacked):
+            for branch in ("cls", "reg"):
+                t = f"bbox_head.{branch}_convs.{lvl}.{i}.bn"
+                f = ("head", f"{branch}_bn_{lvl}_{i}")
+                table.append((f"{t}.weight", ("params", *f, "scale"), None))
+                table.append((f"{t}.bias", ("params", *f, "bias"), None))
+                table.append((f"{t}.running_mean",
+                              ("batch_stats", *f, "mean"), None))
+                table.append((f"{t}.running_var",
+                              ("batch_stats", *f, "var"), None))
+        table.append((f"bbox_head.rtm_cls.{lvl}.weight",
+                      ("params", "head", f"rtm_cls_{lvl}", "kernel"), _conv_w))
+        table.append((f"bbox_head.rtm_cls.{lvl}.bias",
+                      ("params", "head", f"rtm_cls_{lvl}", "bias"), None))
+        table.append((f"bbox_head.rtm_reg.{lvl}.weight",
+                      ("params", "head", f"rtm_reg_{lvl}", "kernel"), _conv_w))
+        table.append((f"bbox_head.rtm_reg.{lvl}.bias",
+                      ("params", "head", f"rtm_reg_{lvl}", "bias"), None))
+    return table, shared
+
+
+def load_torch_rtmdet(variables: dict, path: str, cfg: dict | None = None) -> dict:
+    """Fill our RTMDet variables pytree from an MMDet RTMDet state dict.
+
+    The reference's PRIMARY detector checkpoint surface (`coco_base` =
+    rtmdet_m person-only, examples/model_paths.yaml:1-4).  Strict both
+    ways like every converter here: every expected key must exist with
+    the expected (transposed) shape, the share_conv duplicate copies
+    must be BIT-IDENTICAL to their level-0 source, and unexpected
+    tensors (beyond bookkeeping and mmengine `data_preprocessor.`
+    constants) abort the load.
+    """
+    state = torch_state_dict_to_flat(path)
+    state = {k.removeprefix("module."): v for k, v in state.items()
+             if not k.startswith("data_preprocessor.")}
+
+    table, shared = _rtmdet_key_table(cfg)
+    for dup, src in shared.items():
+        if dup in state and src in state and \
+                not np.array_equal(state[dup], state[src]):
+            raise ValueError(
+                f"share_conv violation: {dup} differs from {src} — this "
+                f"checkpoint was not trained with RTMDetSepBNHead's "
+                f"share_conv=True; refusing to fold."
+            )
+
+    updates: dict[tuple[str, ...], np.ndarray] = {}
+    missing: list[str] = []
+    for tkey, fpath, tf in table:
+        if tkey not in state:
+            missing.append(tkey)
+            continue
+        arr = state[tkey]
+        updates[fpath] = tf(arr) if tf else arr
+    if missing:
+        raise ValueError(
+            f"RTMDet checkpoint missing {len(missing)} expected keys, e.g. "
+            f"{missing[:5]} — is this an MMDet RTMDet checkpoint matching "
+            f"the configured widen/deepen factors?"
+        )
+    expected = {tkey for tkey, _, _ in table} | set(shared)
+    leftovers = [
+        k for k in state
+        if k not in expected and not k.endswith("num_batches_tracked")
+    ]
+    if leftovers:
+        raise ValueError(
+            f"RTMDet checkpoint has {len(leftovers)} unexpected tensors, "
+            f"e.g. {sorted(leftovers)[:5]} — an unsupported RTMDet variant "
+            f"(objectness/depthwise/EMA)?  Refusing to load partially."
+        )
+
+    applied = set()
+
+    def apply(p, leaf):
+        key = tuple(_path_keys(p))
+        if key in updates:
+            new = updates[key]
+            if tuple(new.shape) != tuple(leaf.shape):
+                raise ValueError(
+                    f"shape mismatch at {'/'.join(key)}: checkpoint "
+                    f"{new.shape} vs model {leaf.shape}"
+                )
+            applied.add(key)
+            return jnp.asarray(new, leaf.dtype)
+        return leaf
+
+    out = jax.tree_util.tree_map_with_path(apply, variables)
+    unapplied = set(updates) - applied
+    if unapplied:
+        raise ValueError(
+            f"{len(unapplied)} converted tensors matched no model parameter, "
+            f"e.g. {sorted('/'.join(k) for k in unapplied)[:5]} — flax/torch "
+            f"layout drift?"
+        )
+    return out

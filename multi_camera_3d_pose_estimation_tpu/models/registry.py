@@ -188,6 +188,21 @@ DETECTOR_REGISTRY: dict[str, dict[str, Any]] = {
     "test_yolox_micro": {"family": "yolox",
                          "cfg": {"widen": 0.125, "deepen": 0.33,
                                  "num_classes": 80}},
+    # The reference's PRIMARY named detector (`coco_base` =
+    # rtmdet_m person-only, examples/model_paths.yaml:1-4); imported via
+    # convert.load_torch_rtmdet.
+    "rtmdet_m": {"family": "rtmdet",
+                 "cfg": {"widen": 0.75, "deepen": 0.67, "num_classes": 1,
+                         "neck_out": 192, "num_csp_blocks": 2}},
+    "rtmdet_tiny": {"family": "rtmdet",
+                    "cfg": {"widen": 0.375, "deepen": 0.167,
+                            "num_classes": 1, "neck_out": 96,
+                            "num_csp_blocks": 1}},
+    # Tiny CPU-trainable/testable RTMDet (tests).
+    "test_rtmdet_micro": {"family": "rtmdet",
+                          "cfg": {"widen": 0.125, "deepen": 0.167,
+                                  "num_classes": 1, "neck_out": 32,
+                                  "num_csp_blocks": 1}},
 }
 
 
@@ -226,6 +241,20 @@ def build_detector(
             variables = _load_checkpoint(variables, checkpoint, "yolox", cfg)
         return SinglePersonDetector(model, variables, bbox_thr=bbox_thr,
                                     select=select)
+    if spec.get("family") == "rtmdet":
+        from .rtmdet import RTMDet
+
+        cfg = spec["cfg"]
+        model = RTMDet(widen=cfg["widen"], deepen=cfg["deepen"],
+                       num_classes=cfg["num_classes"],
+                       num_csp_blocks=cfg["num_csp_blocks"],
+                       neck_out=cfg["neck_out"], dtype=dtype)
+        h, w = input_hw
+        variables = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3)))
+        if checkpoint:
+            variables = _load_checkpoint(variables, checkpoint, "rtmdet", cfg)
+        return SinglePersonDetector(model, variables, bbox_thr=bbox_thr,
+                                    select=select)
     if spec["width"] is None:
         return SinglePersonDetector(bbox_thr=bbox_thr)
 
@@ -258,6 +287,10 @@ def _load_checkpoint(variables, path: str, family: str, cfg: dict | None = None)
             from .convert import load_torch_yolox
 
             return load_torch_yolox(variables, path, cfg)
+        if family == "rtmdet":
+            from .convert import load_torch_rtmdet
+
+            return load_torch_rtmdet(variables, path, cfg)
         raise ValueError(f"torch checkpoint conversion not implemented for {family}")
     if path.endswith(".npz"):
         flat = dict(np.load(path, allow_pickle=False))

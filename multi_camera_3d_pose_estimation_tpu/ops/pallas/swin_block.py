@@ -44,6 +44,7 @@ for the structural citations).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
@@ -219,6 +220,14 @@ _VMEM_BUDGET = 56 * 2 ** 20
 # (first feasible wins).  Module-level so the pipeline-level A/B
 # (examples/bench_swin_block.py / bench.py swin variants) can override.
 _WB_CANDIDATES = (8, 16, 4, 2)
+
+def _score_bf16() -> bool:
+    """``MC3D_SWIN_SCORE_BF16=1`` — A/B knob: compute the attention score +
+    additive tables in bf16 inside the fused block kernel (softmax still
+    reduces in f32).  Read at trace time (like ``MC3D_SWIN_WB``) so the
+    pipeline A/B and tests can flip it without re-importing.  Round-5
+    measured experiment; default OFF."""
+    return os.environ.get("MC3D_SWIN_SCORE_BF16", "") == "1"
 
 # Per-stage preference overrides, keyed by the block's channel width C
 # (the stable stage identity across Swin variants): C → candidate tuple
@@ -610,13 +619,26 @@ def _block_body(x, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
             q = qkv_s[:, h * d:(h + 1) * d]
             k = qkv_s[:, C + h * d:C + (h + 1) * d]
             v = qkv_s[:, 2 * C + h * d:2 * C + (h + 1) * d]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
-            ) * scale
-            s = s + t_ref[h]
-            if shifted:
-                s = s + regmask
-            p = jax.nn.softmax(s, axis=-1).astype(bf)
+            if _score_bf16():
+                # Round-5 A/B knob (MC3D_SWIN_SCORE_BF16=1): keep the whole
+                # pre-softmax score path in bf16 — halves the in-VMEM
+                # score/softmax footprint at an ~8-bit-mantissa logit cost.
+                # Measured + recorded in PROFILE.md; NOT the default.
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=bf
+                ) * jnp.asarray(scale, bf)
+                s = s + t_ref[h].astype(bf)
+                if shifted:
+                    s = s + regmask.astype(bf)
+                p = jax.nn.softmax(s.astype(f32), axis=-1).astype(bf)
+            else:
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+                ) * scale
+                s = s + t_ref[h]
+                if shifted:
+                    s = s + regmask
+                p = jax.nn.softmax(s, axis=-1).astype(bf)
             ctx_ref[r0:r0 + san, h * d:(h + 1) * d] = jnp.dot(
                 p, v, preferred_element_type=f32).astype(bf)
 

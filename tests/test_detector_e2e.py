@@ -330,3 +330,50 @@ def test_yolox_detector_registry_and_pipeline():
                                    detector=det)
         out = pipe.run(clip)
         assert np.asarray(out["kpts_3d"]).shape == (3, 17, 3)
+
+
+def test_rtmdet_detector_registry_and_pipeline():
+    """RTMDet detector family end-to-end: registry build, top-1 detect
+    with full-frame fallback, and fusion into the jitted pose pipeline
+    (the reference's PRIMARY detector seat — `coco_base` = rtmdet_m,
+    examples/model_paths.yaml:1-4, used at mmpose_pose_estimation.py:236)."""
+    import numpy as np
+
+    from multi_camera_3d_pose_estimation_tpu.models.registry import (
+        build_detector,
+        build_estimator,
+    )
+    from multi_camera_3d_pose_estimation_tpu.io.camera_params import (
+        stack_camera_params,
+    )
+    from multi_camera_3d_pose_estimation_tpu.parallel.pipeline import (
+        ShardedPosePipeline,
+    )
+
+    det = build_detector("test_rtmdet_micro", bbox_thr=0.0)
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(size=(2, 64, 96, 3)).astype(np.float32)
+    boxes = np.asarray(det.detect(frames))
+    assert boxes.shape == (2, 4)
+    assert (boxes[:, 2] >= boxes[:, 0]).all() and (boxes[:, 3] >= boxes[:, 1]).all()
+
+    # bbox_thr above any random-init score -> full-frame fallback.
+    det_hi = build_detector("test_rtmdet_micro", bbox_thr=2.0)
+    fb = np.asarray(det_hi.detect(frames))
+    np.testing.assert_allclose(fb, np.tile([0.0, 0.0, 96.0, 64.0], (2, 1)))
+
+    # Fused into the jitted pipeline (both selection policies compile).
+    est = build_estimator("test_tiny")
+    C = 2
+    cam_stack = stack_camera_params([
+        [np.array([[300.0, 0, 48.0], [0, 300.0, 32.0], [0, 0, 1]]),
+         np.eye(3), np.array([30.0 * c, 0.0, 0.0]), np.zeros(5)]
+        for c in range(C)
+    ])
+    clip = rng.uniform(size=(3, C, 64, 96, 3)).astype(np.float32)
+    for select in ("top1", "consistent"):
+        det.select = select
+        pipe = ShardedPosePipeline(est, cam_stack, conf_threshold=-1.0,
+                                   detector=det)
+        out = pipe.run(clip)
+        assert np.asarray(out["kpts_3d"]).shape == (3, 17, 3)

@@ -96,6 +96,34 @@ def test_block_bf16_production_window():
         got.astype(np.float32), ref.astype(np.float32), rtol=0, atol=3e-2)
 
 
+@pytest.mark.parametrize("shift", [0, 3])
+def test_block_score_bf16_knob(shift, monkeypatch):
+    """MC3D_SWIN_SCORE_BF16=1 keeps the pre-softmax score path in bf16
+    (round-5 A/B lever).  The logits lose mantissa but softmax still
+    reduces in f32, so outputs must stay within a loose bf16 band of the
+    flax einsum reference — and the default (knob off) must stay tight."""
+    rng = np.random.default_rng(11)
+    # 26x27 pads to 28x28 -> nW=16, B*nW=32: wb=8 divides, (8*49) % 8 == 0
+    x = jnp.asarray(rng.normal(size=(2, 26, 27, 32)), jnp.bfloat16)
+    kw = dict(heads=4, window=7, shift=shift, mlp_ratio=4,
+              dtype=jnp.bfloat16)
+    ref_m = SwinBlock(**kw)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(ref_m.apply(v, x)).astype(np.float32)
+    monkeypatch.setenv("MC3D_SWIN_SCORE_BF16", "1")
+    got = np.asarray(fused_swin_block(
+        x, v["params"], heads=4, window=7, shift=shift, mlp_ratio=4,
+        wb=8, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=6e-2)
+    monkeypatch.delenv("MC3D_SWIN_SCORE_BF16")
+    got_f32 = np.asarray(fused_swin_block(
+        x, v["params"], heads=4, window=7, shift=shift, mlp_ratio=4,
+        wb=8, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got_f32, ref, rtol=0, atol=4e-2)
+    # the knob must actually change the computation
+    assert not np.array_equal(got, got_f32)
+
+
 def test_padding_is_exact_zero_semantics():
     """A pad token's k/v must be exactly the qkv bias (mmcv pads the LN1
     output): corrupting the valid-masked LN bias toward huge values must

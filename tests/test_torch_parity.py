@@ -436,3 +436,85 @@ def test_yolox_converter_missing_and_leftover_keys_raise(tmp_path):
     torch.save({"state_dict": sd}, str(tmp_path / "extra.pth"))
     with pytest.raises(ValueError, match="unexpected"):
         load_torch_yolox(variables, str(tmp_path / "extra.pth"), cfg)
+
+
+def test_rtmdet_converter_vs_independent_torch_forward(tmp_path):
+    """The reference's PRIMARY named detector (`coco_base` = rtmdet_m
+    person-only, examples/model_paths.yaml:1-4) gets the same
+    checkpoint-import validation as YOLOX and the pose families —
+    MMDet-named torch mirror state dict (including the SepBN head's
+    share_conv duplicate keys) through load_torch_rtmdet, forwards
+    (fused distance-box decode included) at 1e-4."""
+    from multi_camera_3d_pose_estimation_tpu.models.mirrors.rtmdet import (
+        MMDetRTMDet,
+        randomize_,
+    )
+
+    from multi_camera_3d_pose_estimation_tpu.models import RTMDet
+    from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_rtmdet
+
+    cfg = {"widen": 0.125, "deepen": 0.167, "num_classes": 1,
+           "neck_out": 32, "num_csp_blocks": 1}
+    tm = MMDetRTMDet(cfg)
+    randomize_(tm, seed=0)
+    tm.eval()
+    path = str(tmp_path / "mmdet_rtmdet.pth")
+    torch.save({"state_dict": tm.state_dict()}, path)
+
+    model = RTMDet(widen=cfg["widen"], deepen=cfg["deepen"],
+                   num_classes=cfg["num_classes"],
+                   num_csp_blocks=cfg["num_csp_blocks"],
+                   neck_out=cfg["neck_out"], dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))
+    variables = load_torch_rtmdet(variables, path, cfg)
+
+    x_np = np.random.default_rng(0).uniform(size=(2, 64, 96, 3)).astype(np.float32)
+    with torch.no_grad():
+        rb, rs = tm(torch.from_numpy(x_np).permute(0, 3, 1, 2))
+    out = model.apply(variables, jnp.asarray(x_np))
+    # N = sum of level grid sizes for 64x96: 8*12 + 4*6 + 2*3 = 126
+    assert out["boxes_all"].shape == (2, 126, 4)
+    np.testing.assert_allclose(np.asarray(out["scores_all"]), rs.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out["boxes_all"]), rb.numpy(),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_rtmdet_converter_strictness(tmp_path):
+    """Missing keys, unexpected keys, and share_conv violations abort."""
+    from multi_camera_3d_pose_estimation_tpu.models import RTMDet
+    from multi_camera_3d_pose_estimation_tpu.models.convert import load_torch_rtmdet
+    from multi_camera_3d_pose_estimation_tpu.models.mirrors.rtmdet import (
+        MMDetRTMDet,
+        randomize_,
+    )
+
+    cfg = {"widen": 0.125, "deepen": 0.167, "num_classes": 1,
+           "neck_out": 32, "num_csp_blocks": 1}
+    model = RTMDet(widen=cfg["widen"], deepen=cfg["deepen"],
+                   num_classes=cfg["num_classes"],
+                   num_csp_blocks=cfg["num_csp_blocks"],
+                   neck_out=cfg["neck_out"], dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+    torch.save({"state_dict": {"backbone.stem.0.conv.weight":
+                               torch.zeros(4, 3, 3, 3)}},
+               str(tmp_path / "partial.pth"))
+    with pytest.raises(ValueError, match="missing"):
+        load_torch_rtmdet(variables, str(tmp_path / "partial.pth"), cfg)
+
+    tm = MMDetRTMDet(cfg)
+    randomize_(tm, seed=1)
+    sd = tm.state_dict()
+    sd["bbox_head.rtm_obj.0.weight"] = torch.zeros(1, 32, 1, 1)
+    torch.save({"state_dict": sd}, str(tmp_path / "extra.pth"))
+    with pytest.raises(ValueError, match="unexpected"):
+        load_torch_rtmdet(variables, str(tmp_path / "extra.pth"), cfg)
+
+    sd = tm.state_dict()
+    # Break the share_conv invariant: level-1 copy differs from level-0.
+    sd["bbox_head.cls_convs.1.0.conv.weight"] = (
+        sd["bbox_head.cls_convs.1.0.conv.weight"].clone() + 1.0)
+    torch.save({"state_dict": sd}, str(tmp_path / "unshared.pth"))
+    with pytest.raises(ValueError, match="share_conv"):
+        load_torch_rtmdet(variables, str(tmp_path / "unshared.pth"), cfg)
