@@ -620,13 +620,17 @@ def _block_body(x, vpat_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
             k = qkv_s[:, C + h * d:C + (h + 1) * d]
             v = qkv_s[:, 2 * C + h * d:2 * C + (h + 1) * d]
             if _score_bf16():
-                # Round-5 A/B knob (MC3D_SWIN_SCORE_BF16=1): keep the whole
+                # Round-5 A/B knob (MC3D_SWIN_SCORE_BF16=1): keep the
                 # pre-softmax score path in bf16 — halves the in-VMEM
                 # score/softmax footprint at an ~8-bit-mantissa logit cost.
+                # The MXU itself must accumulate f32 (Mosaic rejects a
+                # bf16 `tpu.matmul` acc), so the dot keeps f32 and the
+                # cast lands immediately after — the footprint lever is
+                # the (san, san) score/prob tensors, not the accumulator.
                 # Measured + recorded in PROFILE.md; NOT the default.
                 s = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=bf
-                ) * jnp.asarray(scale, bf)
+                    q, k, (((1,), (1,)), ((), ())), preferred_element_type=f32
+                ).astype(bf) * jnp.asarray(scale, bf)
                 s = s + t_ref[h].astype(bf)
                 if shifted:
                     s = s + regmask.astype(bf)
